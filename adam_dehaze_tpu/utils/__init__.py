@@ -1,0 +1,7 @@
+from .helpers import (  # noqa: F401
+    seed_everything,
+    calculate_model_size,
+    calculate_inference_time,
+    count_params,
+    get_device_memory_usage,
+)

@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adam_dehaze_tpu.data.synthetic import (
+    INTENSITY_RANGES,
+    apply_fog,
+    apply_random_fog,
+    estimate_transmission_dcp,
+    fog_density_map,
+    progressive_fog_levels,
+    random_fog_params,
+)
+
+
+def _numpy_fog(clear, beta, A):
+    """Independent numpy port of the reference model (utils/helpers.py:241-255)."""
+    h, w = clear.shape[:2]
+    x = np.linspace(0, 1, w)
+    y = np.linspace(0, 1, h)
+    xx, yy = np.meshgrid(x, y)
+    depth = 0.3 + 0.7 * np.sqrt((xx - 0.5) ** 2 + (yy - 0.2) ** 2)
+    t = np.exp(-beta * depth)[..., None]
+    return np.clip(clear * t + A * (1 - t), 0, 1)
+
+
+def test_apply_fog_matches_reference_model(rng):
+    clear = rng.random((2, 32, 40, 3), dtype=np.float32)
+    hazy = apply_fog(jnp.asarray(clear), jnp.array([0.5, 0.9]), jnp.array([0.7, 0.95]))
+    expected0 = _numpy_fog(clear[0], 0.5, 0.7)
+    expected1 = _numpy_fog(clear[1], 0.9, 0.95)
+    np.testing.assert_allclose(np.asarray(hazy[0]), expected0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hazy[1]), expected1, atol=1e-5)
+
+
+def test_random_fog_params_in_range(key):
+    intensity = jnp.array([0, 1, 2, 0, 1, 2])
+    beta, A = random_fog_params(key, intensity, 6)
+    names = ["low", "medium", "high"]
+    for i, cls in enumerate([0, 1, 2, 0, 1, 2]):
+        (b_lo, b_hi), (a_lo, a_hi) = INTENSITY_RANGES[names[cls]]
+        assert b_lo <= float(beta[i]) <= b_hi
+        assert a_lo <= float(A[i]) <= a_hi
+
+
+def test_apply_random_fog_shapes_and_range(key, rng):
+    clear = jnp.asarray(rng.random((4, 16, 16, 3), dtype=np.float32))
+    hazy = apply_random_fog(key, clear, jnp.array([0, 1, 2, 2]))
+    assert hazy.shape == clear.shape
+    assert float(hazy.min()) >= 0.0 and float(hazy.max()) <= 1.0
+    # Heavier fog washes the image out more (closer to A on average).
+    light = apply_fog(clear, 0.1, 0.8)
+    heavy = apply_fog(clear, 1.0, 0.8)
+    assert float(jnp.abs(heavy - 0.8).mean()) < float(jnp.abs(light - 0.8).mean())
+
+
+def test_transmission_dcp_properties(key, rng):
+    clear = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    hazy = apply_fog(clear, 0.8, 0.9)
+    t = estimate_transmission_dcp(hazy, patch_size=5, radius=4)
+    assert t.shape == (2, 32, 32)
+    # Hazier image -> lower transmission overall than a clear one.
+    t_clear = estimate_transmission_dcp(clear * 0.2, patch_size=5, radius=4)
+    assert float(t.mean()) < float(t_clear.mean())
+
+
+def test_fog_density_map(rng):
+    hazy = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    d = fog_density_map(hazy)
+    assert d.shape == (1, 16, 16)
+    assert float(d.min()) >= 0.0
+
+
+def test_progressive_levels():
+    levels = progressive_fog_levels(5)
+    assert len(levels) == 5
+    betas = [b for b, _ in levels]
+    assert betas == sorted(betas)
+    assert abs(levels[-1][0] - 1.0) < 1e-9 and abs(levels[-1][1] - 1.0) < 1e-9
