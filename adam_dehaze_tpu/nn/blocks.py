@@ -1,0 +1,143 @@
+"""Shared convolutional building blocks (flax.linen, NHWC).
+
+TPU-native redesign of the reference block library
+(reference: models/dehazing/base_model.py:4-78):
+
+- `ConvBlock`: Conv -> BatchNorm -> activation. Bias is dropped when BN is on.
+- `ResidualBlock`: two ConvBlocks + skip + ReLU.
+- `AttentionBlock`: CBAM-style channel gating (avg+max pooled MLP) followed by
+  spatial gating (channel mean/max -> 7x7 conv -> sigmoid). On TPU the spatial
+  gate can run through a fused Pallas kernel (ops/pallas/cbam.py).
+- `UpBlock`: ConvTranspose(4, stride 2) -> BN -> ReLU.
+
+Layout is NHWC (TPU-preferred); compute dtype is configurable (bfloat16 for
+the MXU) while parameters and BN statistics stay float32. BatchNorm matches
+torch semantics: momentum 0.9 (torch's 0.1 "new-stat fraction"), eps 1e-5.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class ConvBlock(nn.Module):
+    """Conv -> optional BatchNorm -> optional activation
+    (reference: base_model.py:4-24)."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: int = 1
+    padding: Optional[int] = None  # None -> k//2 ("same" for odd kernels)
+    use_bn: bool = True
+    activation: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.kernel_size)
+        p = self.padding if self.padding is not None else k[0] // 2
+        x = nn.Conv(
+            self.features, k, strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)), use_bias=not self.use_bn,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """Two ConvBlocks with an identity skip, final ReLU
+    (reference: base_model.py:26-41)."""
+    features: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBlock(self.features, self.kernel_size, dtype=self.dtype)(x, train)
+        y = ConvBlock(self.features, self.kernel_size, activation=None,
+                      dtype=self.dtype)(y, train)
+        return nn.relu(y + residual)
+
+
+class AttentionBlock(nn.Module):
+    """CBAM-style channel + spatial attention (reference: base_model.py:43-78).
+
+    Channel gate: sigmoid(MLP(avgpool(x)) + MLP(maxpool(x))), shared MLP as
+    two bias-free 1x1 convs with a `reduction`-wide bottleneck. Spatial gate:
+    sigmoid(conv7x7([mean_c(x'), max_c(x')])). When `use_pallas` is set the
+    spatial-gate stencil runs as a fused Pallas kernel to avoid two extra
+    HBM round-trips for the (mean, max) maps.
+    """
+    features: int
+    reduction: int = 16
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        c = self.features
+        hidden = max(c // self.reduction, 1)
+        mlp = nn.Sequential([
+            nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32),
+            nn.relu,
+            nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32),
+        ])
+        avg = jnp.mean(x, axis=(1, 2))
+        mx = jnp.max(x, axis=(1, 2))
+        channel_gate = jax.nn.sigmoid(mlp(avg) + mlp(mx))[:, None, None, :]
+        x = x * channel_gate
+
+        spatial_w = self.param(
+            "spatial_conv", nn.initializers.lecun_normal(), (7, 7, 2, 1), jnp.float32)
+        if self.use_pallas:
+            from adam_dehaze_tpu.ops.pallas.cbam import spatial_gate_pallas
+            return spatial_gate_pallas(x, spatial_w.astype(self.dtype))
+        stats = jnp.stack(
+            [jnp.mean(x, axis=-1), jnp.max(x, axis=-1)], axis=-1)
+        gate = jax.lax.conv_general_dilated(
+            stats.astype(self.dtype), spatial_w.astype(self.dtype),
+            window_strides=(1, 1), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return x * jax.nn.sigmoid(gate)
+
+
+class UpBlock(nn.Module):
+    """ConvTranspose(4x4, stride 2, pad 1) -> BN -> ReLU: exact 2x upsample
+    (reference: base_model.py:144-149)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # lax pad = k - 1 - torch_pad = 2 reproduces torch
+        # ConvTranspose2d(kernel=4, stride=2, padding=1): exact 2x upsample.
+        x = nn.ConvTranspose(
+            self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize to (H, W), half-pixel centers (align_corners=False)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear")

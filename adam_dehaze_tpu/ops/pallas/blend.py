@@ -1,0 +1,56 @@
+"""Fused 3-branch weighted blend as a Pallas TPU kernel.
+
+The soft router blends branch outputs with per-sample weights
+(reference: models/routing.py:121-127):
+
+    out[n] = w[n,0]*low[n] + w[n,1]*med[n] + w[n,2]*high[n]
+
+One pass over the three branch outputs with the per-sample scalar weights
+prefetched into SMEM; avoids XLA materialising the intermediate scaled
+tensors when fusion heuristics decline.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(w_ref, a_ref, b_ref, c_ref, out_ref):
+    n = pl.program_id(0)
+    w0 = w_ref[n, 0]
+    w1 = w_ref[n, 1]
+    w2 = w_ref[n, 2]
+    out_ref[...] = (a_ref[...] * w0 + b_ref[...] * w1 + c_ref[...] * w2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def blend3_pallas(weights: jax.Array, low: jax.Array, med: jax.Array,
+                  high: jax.Array, interpret: bool = False) -> jax.Array:
+    """weights: (B, 3); low/med/high: (B, H, W, C)."""
+    b, h, w, c = low.shape
+    tile_h = h
+    # With scalar prefetch, index maps also receive the prefetch ref(s).
+    spec = pl.BlockSpec((1, tile_h, w, c), lambda n, *_: (n, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct(low.shape, low.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(weights.astype(low.dtype), low, med, high)
+
+
+def blend3_reference(weights: jax.Array, low: jax.Array, med: jax.Array,
+                     high: jax.Array) -> jax.Array:
+    w = weights[:, :, None, None, None].astype(low.dtype)
+    return w[:, 0] * low + w[:, 1] * med + w[:, 2] * high

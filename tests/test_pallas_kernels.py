@@ -1,0 +1,40 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adam_dehaze_tpu.ops.pallas.blend import blend3_pallas, blend3_reference
+from adam_dehaze_tpu.ops.pallas.cbam import (
+    spatial_gate_pallas,
+    spatial_gate_reference,
+)
+
+
+def test_spatial_gate_matches_reference(key):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 16, 24, 32), jnp.float32)
+    w = jax.random.normal(k2, (7, 7, 2, 1), jnp.float32) * 0.1
+    got = spatial_gate_pallas(x, w, interpret=True)
+    want = spatial_gate_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_spatial_gate_odd_height(key):
+    # H=10 -> tile 2; W=8.
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (1, 10, 8, 16), jnp.float32)
+    w = jax.random.normal(k2, (7, 7, 2, 1), jnp.float32) * 0.1
+    got = spatial_gate_pallas(x, w, interpret=True)
+    want = spatial_gate_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_blend3_matches_reference(key):
+    ks = jax.random.split(key, 4)
+    low = jax.random.uniform(ks[0], (3, 8, 8, 3))
+    med = jax.random.uniform(ks[1], (3, 8, 8, 3))
+    high = jax.random.uniform(ks[2], (3, 8, 8, 3))
+    logits = jax.random.normal(ks[3], (3, 3))
+    w = jax.nn.softmax(logits, axis=-1)
+    got = blend3_pallas(w, low, med, high, interpret=True)
+    want = blend3_reference(w, low, med, high)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
