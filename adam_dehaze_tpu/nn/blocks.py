@@ -128,9 +128,11 @@ class UpBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         # lax pad = k - 1 - torch_pad = 2 reproduces torch
         # ConvTranspose2d(kernel=4, stride=2, padding=1): exact 2x upsample.
+        # Bias kept despite the following BN for exact param parity with
+        # torch ConvTranspose2d defaults (reference: base_model.py:146).
         x = nn.ConvTranspose(
             self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
