@@ -1,0 +1,67 @@
+"""Fog-intensity classifier ("HDEN" in the paper's vocabulary).
+
+Backbone (+ global pool) feeding a small MLP head; forward returns
+(logits, features) exactly like the reference
+(reference: models/classifier.py:6-97). Backbones are own flax
+implementations (nn/resnet.py, nn/mobilenet.py); `pretrained` weights can be
+loaded from a converted torchvision checkpoint via
+training/checkpoint.py:load_torch_resnet (gated — torchvision is not
+available in this environment).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from adam_dehaze_tpu.nn.mobilenet import MobileNetV2
+from adam_dehaze_tpu.nn.resnet import resnet18, resnet34, resnet50
+
+Dtype = Any
+
+_BACKBONES = {
+    "resnet18": (resnet18, 512),
+    "resnet34": (resnet34, 512),
+    "resnet50": (resnet50, 2048),
+    "mobilenet_v2": (lambda dtype: MobileNetV2(dtype=dtype), 1280),
+}
+
+
+class FogIntensityClassifier(nn.Module):
+    """3-way fog-intensity classifier; __call__ -> (logits, features)."""
+    model_name: str = "resnet18"
+    num_classes: int = 3
+    dtype: Dtype = jnp.float32
+
+    @property
+    def feature_dim(self) -> int:
+        return _BACKBONES[self.model_name][1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.model_name not in _BACKBONES:
+            raise ValueError(f"Unsupported model: {self.model_name}")
+        ctor, _ = _BACKBONES[self.model_name]
+        backbone = ctor(dtype=self.dtype) if self.model_name == "mobilenet_v2" \
+            else ctor(dtype=self.dtype)
+        features = backbone(x, train)
+        # Head: Dropout(.3) -> Dense(256) -> ReLU -> Dropout(.2) -> Dense(C)
+        # (reference: classifier.py:72-78).
+        h = nn.Dropout(0.3, deterministic=not train)(features)
+        h = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = nn.relu(h)
+        h = nn.Dropout(0.2, deterministic=not train)(h)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          param_dtype=jnp.float32)(h)
+        return logits.astype(jnp.float32), features
+
+
+def create_classifier(config) -> FogIntensityClassifier:
+    """(reference: models/classifier.py:139-145)"""
+    dtype = jnp.dtype(config.get("tpu", {}).get("compute_dtype", "float32"))
+    return FogIntensityClassifier(
+        model_name=config["classifier"]["model"],
+        num_classes=config["classifier"]["num_classes"],
+        dtype=dtype,
+    )
