@@ -48,6 +48,7 @@ class SoftRouter(nn.Module):
         else:
             logits = classifier_logits
         weights = jax.nn.softmax(logits / self.temperature, axis=1)
+        info_logits = logits
         outputs = _branch_outputs(self.models, x, train)
 
         ys = [outputs[n] for n in INTENSITY_ORDER if n in outputs]
@@ -59,7 +60,8 @@ class SoftRouter(nn.Module):
             for i, name in enumerate(INTENSITY_ORDER):
                 if name in outputs:
                     blended = blended + weights[:, i, None, None, None] * outputs[name]
-        return blended, {"weights": weights, "individual_outputs": outputs}
+        return blended, {"weights": weights, "individual_outputs": outputs,
+                         "logits": info_logits}
 
 
 class HardRouter(nn.Module):
@@ -70,6 +72,7 @@ class HardRouter(nn.Module):
 
     @nn.compact
     def __call__(self, x, intensity=None, train: bool = False):
+        logits = None
         if intensity is None and self.classifier is not None:
             logits, _ = self.classifier(x, train)
             intensity = jnp.argmax(jax.lax.stop_gradient(logits), axis=1)
@@ -84,6 +87,7 @@ class HardRouter(nn.Module):
             "low_mask": intensity == 0,
             "medium_mask": intensity == 1,
             "high_mask": intensity == 2,
+            "logits": logits,
         }
 
 
@@ -97,6 +101,7 @@ class GatedRouter(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n_models = len(self.models)
+        logits = None
         if self.classifier is not None:
             logits, features = self.classifier(x, train)
             h = nn.Dense(256)(features)
@@ -112,7 +117,8 @@ class GatedRouter(nn.Module):
         for i, name in enumerate(INTENSITY_ORDER):
             if name in outputs:
                 final = final + gate[:, i, None, None, None] * outputs[name]
-        return final, {"gate_weights": gate, "individual_outputs": outputs}
+        return final, {"gate_weights": gate, "individual_outputs": outputs,
+                       "logits": logits}
 
 
 def create_router(models: Dict[str, nn.Module], classifier, config) -> nn.Module:
