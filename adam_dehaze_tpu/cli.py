@@ -1,0 +1,182 @@
+"""Command-line interface.
+
+Same surface as the reference driver (reference: main.py:29-222):
+  python main.py --mode {preprocess, train_classifier, train_dehazing,
+                         train_joint, train_all, evaluate, demo}
+       [--config PATH] [--exp_name NAME] [--data_dir DIR] [--device DEV]
+       [--resume] [--seed N] [--experiment_dir DIR]
+
+Divergences (documented):
+- `--resume` actually works (the reference defines but never reads it,
+  main.py:50-51).
+- `evaluate` takes `--experiment_dir` instead of a hardcoded dev path
+  (reference: main.py:144).
+- `demo` is implemented (the reference's demo is a TODO stub,
+  main.py:210-215); it loads the pipeline, dehazes the test split (or
+  --data_dir), and writes comparison grids.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+from adam_dehaze_tpu.config import (
+    apply_cli_overrides,
+    create_experiment_dir,
+    load_config,
+    update_checkpoint_paths,
+)
+from adam_dehaze_tpu.utils.helpers import seed_everything
+
+MODES = ("preprocess", "train_classifier", "train_dehazing", "train_joint",
+         "train_all", "evaluate", "demo", "bench")
+
+
+def parse_args(argv=None):
+    """(reference: main.py:29-56)"""
+    p = argparse.ArgumentParser(
+        description="Adaptive Fog Intensity Dehazing Framework (TPU-native)")
+    p.add_argument("--config", type=str, default=None,
+                   help="Path to config file (defaults bundled)")
+    p.add_argument("--mode", type=str, default="train_all", choices=MODES)
+    p.add_argument("--exp_name", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--device", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--experiment_dir", type=str, default=None,
+                   help="Existing experiment to evaluate / resume")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = load_config(args.config)
+    config = apply_cli_overrides(config, args)
+
+    if args.experiment_dir:
+        config = update_checkpoint_paths(config, args.experiment_dir)
+        exp_dir = args.experiment_dir
+    else:
+        exp_dir, config = create_experiment_dir(config, args.exp_name)
+    print(f"Experiment directory: {exp_dir}")
+
+    seed_everything(config["seed"])
+    print(f"Random seed set to {config['seed']}")
+
+    if args.mode == "preprocess":
+        from adam_dehaze_tpu.data.preprocessing import (
+            preprocess_dataset,
+            split_dataset,
+        )
+        data_dir = Path(config["dataset"]["train_path"]).parent
+        raw_dir = os.path.join(data_dir, "raw")
+        processed_dir = os.path.join(data_dir, "processed")
+        n = preprocess_dataset(raw_dir, processed_dir,
+                               size=config["dataset"]["img_size"])
+        counts = split_dataset(processed_dir, seed=config["seed"])
+        print(f"Preprocessed {n} triplets; split: {counts}")
+
+    elif args.mode == "train_classifier":
+        from adam_dehaze_tpu.training.train_classifier import (
+            evaluate_classifier,
+            train_classifier,
+        )
+        model, state = train_classifier(config, resume=args.resume)
+        evaluate_classifier(model, state, config)
+
+    elif args.mode == "train_dehazing":
+        from adam_dehaze_tpu.training.train_dehazing import (
+            evaluate_dehazing_model,
+            train_all_dehazing_models,
+        )
+        models = train_all_dehazing_models(config, resume=args.resume)
+        for level, (model, state) in models.items():
+            print(f"Evaluating {level} intensity model...")
+            evaluate_dehazing_model(model, state, level, config)
+
+    elif args.mode == "train_joint":
+        from adam_dehaze_tpu.training.train_joint import (
+            evaluate_joint_model,
+            train_joint_model,
+        )
+        router, state = train_joint_model(config, resume=args.resume)
+        evaluate_joint_model(router, state, config)
+
+    elif args.mode == "train_all":
+        from adam_dehaze_tpu.evaluation.evaluate import run_comprehensive_evaluation
+        from adam_dehaze_tpu.training.train_classifier import (
+            evaluate_classifier,
+            train_classifier,
+        )
+        from adam_dehaze_tpu.training.train_dehazing import train_all_dehazing_models
+        from adam_dehaze_tpu.training.train_joint import train_joint_model
+
+        print("\n===== Step 1: Training Fog Intensity Classifier =====")
+        model, state = train_classifier(config, resume=args.resume)
+        evaluate_classifier(model, state, config)
+        print("\n===== Step 2: Training Dehazing Models =====")
+        train_all_dehazing_models(config, resume=args.resume)
+        print("\n===== Step 3: Training Joint Model =====")
+        router, joint_state = train_joint_model(config, resume=args.resume)
+        print("\n===== Step 4: Comprehensive Evaluation =====")
+        run_comprehensive_evaluation(config, router, joint_state)
+
+    elif args.mode == "evaluate":
+        from adam_dehaze_tpu.evaluation.evaluate import run_comprehensive_evaluation
+        run_comprehensive_evaluation(config)
+
+    elif args.mode == "demo":
+        run_demo(config, exp_dir)
+
+    elif args.mode == "bench":
+        import subprocess
+        import sys
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(__file__), "..", "bench.py")])
+
+    print(f"All tasks completed successfully! Results are available in: {exp_dir}")
+
+
+def run_demo(config, exp_dir: str, max_batches: int = 2):
+    """Load the adaptive pipeline and dehaze sample images, writing
+    comparison grids + routing weights (implements the reference's TODO,
+    main.py:210-215)."""
+    import jax
+    import numpy as np
+
+    from adam_dehaze_tpu.data.dataset import get_dataloader
+    from adam_dehaze_tpu.evaluation.evaluate import _load_joint
+    from adam_dehaze_tpu.utils import visualize
+
+    demo_dir = os.path.join(exp_dir, "demo")
+    os.makedirs(demo_dir, exist_ok=True)
+    router, state = _load_joint(config)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    apply_fn = jax.jit(lambda x: router.apply(variables, x, train=False))
+
+    loader = get_dataloader(config, "test")
+    for bi, batch in enumerate(loader):
+        if bi >= max_batches:
+            break
+        import jax.numpy as jnp
+        dehazed, info = apply_fn(jnp.asarray(batch["hazy"]))
+        dehazed = np.asarray(dehazed)
+        k = min(4, dehazed.shape[0])
+        visualize.visualize_comparison(
+            batch["hazy"][:k], dehazed[:k], batch["clear"][:k],
+            os.path.join(demo_dir, f"demo_batch{bi}.png"))
+        weights = info.get("weights")
+        if weights is None:
+            weights = info.get("gate_weights")
+        if weights is not None:
+            visualize.visualize_routing_weights(
+                np.asarray(weights[:k]),
+                os.path.join(demo_dir, f"demo_weights{bi}.png"))
+    print(f"Demo completed. Results saved to: {demo_dir}")
+
+
+if __name__ == "__main__":
+    main()
