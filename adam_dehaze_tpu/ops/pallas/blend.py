@@ -30,11 +30,18 @@ def _kernel(w_ref, a_ref, b_ref, c_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def blend3_pallas(weights: jax.Array, low: jax.Array, med: jax.Array,
                   high: jax.Array, interpret: bool = False) -> jax.Array:
-    """weights: (B, 3); low/med/high: (B, H, W, C)."""
+    """weights: (B, 3); low/med/high: (B, H, W, C).
+
+    Images are viewed as (B, H, W*C) so the wide W*C axis sits in the lane
+    dimension — a raw (.., W, 3) layout would get its 3-channel lane dim
+    padded to 128 by Mosaic (42x VMEM blowup, observed OOM at 256^2).
+    """
     b, h, w, c = low.shape
+    shape3 = (b, h, w * c)
+    low3, med3, high3 = (v.reshape(shape3) for v in (low, med, high))
     tile_h = h
     # With scalar prefetch, index maps also receive the prefetch ref(s).
-    spec = pl.BlockSpec((1, tile_h, w, c), lambda n, *_: (n, 0, 0, 0),
+    spec = pl.BlockSpec((1, tile_h, w * c), lambda n, *_: (n, 0, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -42,12 +49,13 @@ def blend3_pallas(weights: jax.Array, low: jax.Array, med: jax.Array,
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct(low.shape, low.dtype),
+        out_shape=jax.ShapeDtypeStruct(shape3, low.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(weights.astype(low.dtype), low, med, high)
+    )(weights.astype(low.dtype), low3, med3, high3)
+    return out.reshape(low.shape)
 
 
 def blend3_reference(weights: jax.Array, low: jax.Array, med: jax.Array,

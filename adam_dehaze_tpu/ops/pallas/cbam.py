@@ -7,16 +7,20 @@ The spatial gate of the reference AttentionBlock
     gate  = sigmoid(conv7x7(stats))        # zero padding 3
     out   = x * gate
 
-Executed naively this costs ~3 HBM reads + 2 writes of x-sized traffic (write
-stats, read stats, read x again for the multiply). This kernel fuses the
-channel reduction, the 7x7 stencil, the sigmoid and the multiply into a single
-pass: x is DMA'd tile-by-tile (with a 3-row halo) HBM->VMEM, everything else
-happens in VMEM, and only the gated output is written back — ~1x read + 1x
-write, i.e. ~2.5x less HBM traffic for a bandwidth-bound op.
+The channel reduction is one cheap fused XLA pass; the expensive part is the
+7x7 stencil + sigmoid + full-tensor multiply, which naively costs an extra
+read+write of x-sized HBM traffic. This kernel fuses stencil, sigmoid and
+multiply in VMEM: per (image, H-tile) grid step it reads the x tile once and
+writes the gated tile once. The (mean, max) maps are pre-padded by the halo
+(3 px) and fed as whole-image blocks whose index depends only on the batch
+coordinate, so Pallas keeps them resident in VMEM across the H-tiles of the
+same image.
 
-Grid: (batch, H/TILE_H). Halo handling: x is pre-padded by 3 rows of zeros on
-H (so every DMA slice is in bounds) and the W halo is padded in-register.
-Zero rows produce zero stats, which exactly reproduces the zero-padded conv.
+Alignment note: a first version DMA'd x manually (HBM->VMEM via
+make_async_copy), but Mosaic requires the last dim of manual DMA slices to be
+128-aligned and the attention channels here are 96/192/384. BlockSpec
+auto-pipelining handles the unaligned channel dim by padding, hence this
+design.
 """
 from __future__ import annotations
 
@@ -37,29 +41,22 @@ def _pick_tile(h: int) -> int:
     return h
 
 
-def _kernel(x_hbm, w_ref, out_ref, x_scr, sem, *, tile_h: int, width: int):
-    b = pl.program_id(0)
+def _kernel(x_ref, mean_ref, max_ref, w_ref, out_ref, *, tile_h: int,
+            width: int):
     t = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * tile_h, tile_h + 2 * _HALO)], x_scr, sem)
-    dma.start()
-    dma.wait()
-
-    x = x_scr[:]  # (tile_h + 6, W, C)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1)
-    mx = jnp.max(xf, axis=-1)
-    # (tile_h + 6, W + 6, 2) with zero-padded W halo.
-    stats = jnp.stack([mean, mx], axis=-1)
-    stats = jnp.pad(stats, ((0, 0), (_HALO, _HALO), (0, 0)))
-
+    # Sublane-aligned window read (Mosaic requires dim-1 offsets % 8 == 0);
+    # the per-tap shifts then happen as static in-register slices.
+    row0 = pl.multiple_of(t * tile_h, 8)
+    mean_win = mean_ref[0, pl.ds(row0, tile_h + 8), :]
+    max_win = max_ref[0, pl.ds(row0, tile_h + 8), :]
     acc = jnp.zeros((tile_h, width), jnp.float32)
     for i in range(7):
         for j in range(7):
-            for k in range(2):
-                acc = acc + stats[i:i + tile_h, j:j + width, k] * w_ref[i, j, k, 0]
+            acc = acc + mean_win[i:i + tile_h, j:j + width] * w_ref[i, j, 0, 0]
+            acc = acc + max_win[i:i + tile_h, j:j + width] * w_ref[i, j, 1, 0]
     gate = jax.nn.sigmoid(acc)
-    out_ref[0] = (x[_HALO:_HALO + tile_h] * gate[:, :, None].astype(x.dtype))
+    x = x_ref[0]
+    out_ref[0] = x * gate[:, :, None].astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -67,26 +64,36 @@ def spatial_gate_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> 
     """x: (B, H, W, C) NHWC; w: (7, 7, 2, 1) HWIO stencil weights."""
     b, h, width, c = x.shape
     tile_h = _pick_tile(h)
-    x_pad = jnp.pad(x, ((0, 0), (_HALO, _HALO), (0, 0), (0, 0)))
+    if tile_h % 8:
+        # Tiny inputs: the aligned-window trick needs 8-row tiles.
+        return spatial_gate_reference(x, w)
+    xf = x.astype(jnp.float32)
+    # Rows: 3 halo on top, 5 below (window reads are tile_h + 8 rows).
+    mean = jnp.pad(jnp.mean(xf, axis=-1),
+                   ((0, 0), (_HALO, _HALO + 2), (_HALO, _HALO)))
+    mx = jnp.pad(jnp.max(xf, axis=-1),
+                 ((0, 0), (_HALO, _HALO + 2), (_HALO, _HALO)))
 
     kernel = functools.partial(_kernel, tile_h=tile_h, width=width)
+    stats_spec = pl.BlockSpec((1, h + 2 * _HALO + 2, width + 2 * _HALO),
+                              lambda bi, ti: (bi, 0, 0),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tile_h, width, c), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            stats_spec,
+            stats_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, width, c), lambda bi, ti: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _HALO, width, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         interpret=interpret,
-    )(x_pad, w.astype(jnp.float32))
+    )(x, mean, mx, w.astype(jnp.float32))
 
 
 def spatial_gate_reference(x: jax.Array, w: jax.Array) -> jax.Array:
