@@ -112,11 +112,12 @@ class DataLoader:
         pad = self.batch_size - n_valid
         if pad:
             items = items + [items[-1]] * pad
-        batch = {
-            k: np.stack([it[k] for it in items])
-            for k in ("hazy", "clear", "dehazed", "intensity")
-        }
-        batch["name"] = [it["name"] for it in items]
+        batch: Dict = {}
+        for k, v in items[0].items():
+            if isinstance(v, (np.ndarray, np.generic)):
+                batch[k] = np.stack([it[k] for it in items])
+            else:
+                batch[k] = [it[k] for it in items]
         batch["mask"] = np.arange(self.batch_size) < n_valid
         return batch
 

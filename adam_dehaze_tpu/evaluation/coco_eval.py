@@ -54,7 +54,72 @@ def box_iou_xywh(dets: np.ndarray, gts: np.ndarray,
     return inter / np.maximum(union, 1e-12)
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """Load (building if needed) the C++ matcher from native/; None on any
+    failure — the Python loop below is the fallback."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    lib_path = os.path.join(native_dir, "libcocomatch.so")
+    try:
+        if not os.path.exists(lib_path):
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.coco_match.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.coco_match.restype = None
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
+
+
+def _match_image_native(lib, det_scores, ious, gt_ignore, gt_iscrowd, n_thrs):
+    import ctypes
+    n_det, n_gt = ious.shape
+    det_order = np.argsort(-det_scores, kind="stable").astype(np.int32)
+    gt_order = np.argsort(gt_ignore.astype(int), kind="stable").astype(np.int32)
+    ious_c = np.ascontiguousarray(ious, np.float64)
+    gt_ig = np.ascontiguousarray(gt_ignore, np.uint8)
+    gt_cr = np.ascontiguousarray(gt_iscrowd, np.uint8)
+    thrs = np.ascontiguousarray(IOU_THRS, np.float64)
+    dtm = np.empty((n_thrs, n_det), np.int64)
+    dt_ig = np.empty((n_thrs, n_det), np.uint8)
+
+    def p(arr, ty):
+        return arr.ctypes.data_as(ctypes.POINTER(ty))
+    lib.coco_match(p(ious_c, ctypes.c_double), p(det_order, ctypes.c_int32),
+                   p(gt_order, ctypes.c_int32), p(gt_ig, ctypes.c_uint8),
+                   p(gt_cr, ctypes.c_uint8), p(thrs, ctypes.c_double),
+                   np.int32(n_det), np.int32(n_gt), np.int32(n_thrs),
+                   p(dtm, ctypes.c_int64), p(dt_ig, ctypes.c_uint8))
+    return dtm, dt_ig.astype(bool)
+
+
 def _match_image(det_scores, ious, gt_ignore, gt_iscrowd, n_thrs):
+    lib = _load_native()
+    if lib is not None and ious.size:
+        return _match_image_native(lib, det_scores, ious, gt_ignore,
+                                   gt_iscrowd, n_thrs)
+    return _match_image_py(det_scores, ious, gt_ignore, gt_iscrowd, n_thrs)
+
+
+def _match_image_py(det_scores, ious, gt_ignore, gt_iscrowd, n_thrs):
     """Greedy COCO matching for one (image, category).
 
     GTs are visited non-ignored first (pycocotools sorts them this way, which

@@ -97,6 +97,46 @@ class ImageQualityMetrics:
         print(f"Results saved to {output_path}")
 
 
+def calculate_perceptual_scores(dehaze_fn, loader, vgg_params=None,
+                                image_shape=(1, 64, 64, 3)) -> Dict[str, float]:
+    """VGG-feature naturalness/structure scores over a dataset
+    (reference: metrics.py:272-355): naturalness = 1/(1 + MSE(relu4_3)),
+    structure_similarity = 1/(1 + MSE(relu2_2)), averaged over samples —
+    batched on device instead of the reference's per-image VGG re-runs.
+    """
+    from adam_dehaze_tpu.nn.vgg import VGG16Features
+
+    net = VGG16Features(taps=("relu2_2", "relu4_3"))
+    if vgg_params is None:
+        vgg_params = net.init(jax.random.PRNGKey(0),
+                              jnp.zeros(image_shape, jnp.float32))
+
+    @jax.jit
+    def _scores(hazy, clear):
+        dehazed, _ = dehaze_fn(hazy)
+        fd = net.apply(vgg_params, dehazed)
+        fc = net.apply(vgg_params, clear)
+        axes = (1, 2, 3)
+        nat = jnp.mean((fd["relu4_3"] - fc["relu4_3"]) ** 2, axis=axes)
+        st = jnp.mean((fd["relu2_2"] - fc["relu2_2"]) ** 2, axis=axes)
+        return nat, st
+
+    tot_nat, tot_st, n = 0.0, 0.0, 0
+    for batch in loader:
+        nat, st = _scores(jnp.asarray(batch["hazy"]),
+                          jnp.asarray(batch["clear"]))
+        mask = np.asarray(batch["mask"], bool)
+        tot_nat += float(np.asarray(nat)[mask].sum())
+        tot_st += float(np.asarray(st)[mask].sum())
+        n += int(mask.sum())
+    n = max(n, 1)
+    return {
+        "naturalness": 1.0 / (1.0 + tot_nat / n),
+        "structure_similarity": 1.0 / (1.0 + tot_st / n),
+        "samples": n,
+    }
+
+
 class DetectionMetrics:
     """COCO-mAP accumulator with the reference's API
     (reference: metrics.py:126-270)."""

@@ -34,11 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 _HALO = 3  # (7 - 1) // 2
 
 
-def _pick_tile(h: int) -> int:
-    for t in (64, 32, 16, 8, 4, 2, 1):
-        if h % t == 0 and t <= h:
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _pick_tile(h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest 8-aligned H tile whose in+out double-buffered blocks plus the
+    resident stats maps fit the VMEM budget."""
+    stats_bytes = 2 * (h + 8) * (w + 6) * 4
+    for t in (64, 32, 16, 8):
+        if h % t:
+            continue
+        tile_bytes = 4 * t * w * max(c, 128) * itemsize  # in+out, 2x buffered
+        if tile_bytes + stats_bytes <= _VMEM_BUDGET:
             return t
-    return h
+    return 0  # no viable tile -> caller falls back to XLA
 
 
 def _kernel(x_ref, mean_ref, max_ref, w_ref, out_ref, *, tile_h: int,
@@ -63,9 +72,8 @@ def _kernel(x_ref, mean_ref, max_ref, w_ref, out_ref, *, tile_h: int,
 def spatial_gate_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
     """x: (B, H, W, C) NHWC; w: (7, 7, 2, 1) HWIO stencil weights."""
     b, h, width, c = x.shape
-    tile_h = _pick_tile(h)
-    if tile_h % 8:
-        # Tiny inputs: the aligned-window trick needs 8-row tiles.
+    tile_h = _pick_tile(h, width, c, x.dtype.itemsize)
+    if tile_h == 0:
         return spatial_gate_reference(x, w)
     xf = x.astype(jnp.float32)
     # Rows: 3 halo on top, 5 below (window reads are tile_h + 8 rows).
