@@ -163,6 +163,37 @@ def fog_density_map(hazy: jax.Array, beta: float = 1.0) -> jax.Array:
     return jnp.exp(-beta * t)
 
 
+def create_progressive_test_set(clear_imgs_dir: str, output_dir: str,
+                                fog_levels: int = 5) -> int:
+    """Write hazy versions of every clear image at increasing fog intensity
+    (reference: utils/helpers.py:267-299 — unreachable there due to an
+    argument-arity bug at :289; functional here). Returns images written."""
+    import os
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = sorted(list(Path(clear_imgs_dir).glob("*.jpg"))
+                   + list(Path(clear_imgs_dir).glob("*.png")))
+    levels = progressive_fog_levels(fog_levels)
+    written = 0
+    for img_path in paths:
+        bgr = cv2.imread(str(img_path))
+        if bgr is None:
+            continue
+        clear = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        batch = jnp.asarray(clear[None])
+        for i, (beta, A) in enumerate(levels):
+            hazy = np.asarray(apply_fog(batch, beta, A))[0]
+            out = cv2.cvtColor((hazy * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+            cv2.imwrite(os.path.join(output_dir,
+                                     f"{img_path.stem}_fog{i + 1}.png"), out)
+            written += 1
+    return written
+
+
 def progressive_fog_levels(n_levels: int = 5):
     """(beta, A) schedule for a progressive test set.
 

@@ -15,6 +15,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from adam_dehaze_tpu.nn.efficientnet import EfficientNetB0
 from adam_dehaze_tpu.nn.mobilenet import MobileNetV2
 from adam_dehaze_tpu.nn.resnet import resnet18, resnet34, resnet50
 
@@ -25,6 +26,7 @@ _BACKBONES = {
     "resnet34": (resnet34, 512),
     "resnet50": (resnet50, 2048),
     "mobilenet_v2": (lambda dtype: MobileNetV2(dtype=dtype), 1280),
+    "efficientnet_b0": (lambda dtype: EfficientNetB0(dtype=dtype), 1280),
 }
 
 
@@ -43,8 +45,7 @@ class FogIntensityClassifier(nn.Module):
         if self.model_name not in _BACKBONES:
             raise ValueError(f"Unsupported model: {self.model_name}")
         ctor, _ = _BACKBONES[self.model_name]
-        backbone = ctor(dtype=self.dtype) if self.model_name == "mobilenet_v2" \
-            else ctor(dtype=self.dtype)
+        backbone = ctor(dtype=self.dtype)
         features = backbone(x, train)
         # Head: Dropout(.3) -> Dense(256) -> ReLU -> Dropout(.2) -> Dense(C)
         # (reference: classifier.py:72-78).

@@ -143,6 +143,57 @@ def create_router(models: Dict[str, nn.Module], classifier, config) -> nn.Module
 # Function-level adaptive inference engine (serving path).
 # ---------------------------------------------------------------------------
 
+class BinnedAdaptiveEngine:
+    """Host-binned hard routing: the adaptive-FLOPs serving engine.
+
+    The reference's HardRouter gathers dynamic boolean-mask subsets per branch
+    (reference: routing.py:45-61) — impossible under XLA's static shapes. This
+    engine recovers the same "each image costs only its own branch" property
+    with STATIC shapes: classify the batch, bin image indices by predicted
+    class on the host, pad each bin up to a precompiled bucket size, run each
+    branch once on its padded bin, and scatter results back. Compiled program
+    count is bounded by len(buckets) per branch; per-image compute approaches
+    the per-branch cost instead of the 3x soft-blend cost — the reference's
+    "-20% average FLOPs" claim (README.md:149) becomes ~3x for balanced
+    traffic.
+    """
+
+    def __init__(self, classifier_apply: Callable,
+                 branch_applies: Sequence[Callable],
+                 buckets: Sequence[int] = (1, 2, 4, 8, 16, 32)):
+        self.classifier_apply = jax.jit(classifier_apply)
+        self.branch_applies = [jax.jit(f) for f in branch_applies]
+        self.buckets = tuple(sorted(buckets))
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def __call__(self, x):
+        import numpy as np
+        logits, _ = self.classifier_apply(x)
+        intensity = np.asarray(jnp.argmax(logits, axis=1))
+        out = np.zeros_like(np.asarray(x))
+        for cls, branch in enumerate(self.branch_applies):
+            idxs = np.nonzero(intensity == cls)[0]
+            if idxs.size == 0:
+                continue
+            pos = 0
+            while pos < idxs.size:
+                chunk = idxs[pos:pos + self.buckets[-1]]
+                b = self._bucket(chunk.size)
+                sub = np.asarray(x)[chunk]
+                if b > chunk.size:  # pad to the bucket's static shape
+                    pad = np.repeat(sub[-1:], b - chunk.size, axis=0)
+                    sub = np.concatenate([sub, pad], axis=0)
+                y = np.asarray(branch(jnp.asarray(sub)))
+                out[chunk] = y[:chunk.size]
+                pos += chunk.size
+        return jnp.asarray(out), intensity
+
+
 def make_adaptive_infer(
     classifier_apply: Callable,
     branch_applies: Sequence[Callable],

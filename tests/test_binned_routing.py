@@ -1,0 +1,56 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adam_dehaze_tpu.models.branches import LightweightDehazeModel
+from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine, make_adaptive_infer
+
+
+def _setup(key, batch=7):
+    models = {
+        "low": LightweightDehazeModel(base_channels=4, n_blocks=1),
+        "medium": LightweightDehazeModel(base_channels=6, n_blocks=1),
+        "high": LightweightDehazeModel(base_channels=8, n_blocks=1),
+    }
+    x = jax.random.uniform(key, (batch, 16, 16, 3))
+    variables = {n: m.init(jax.random.PRNGKey(i), x)
+                 for i, (n, m) in enumerate(models.items())}
+    applies = [
+        (lambda v, m: (lambda img: m.apply(v, img)))(variables[n], models[n])
+        for n in ("low", "medium", "high")
+    ]
+
+    def classifier(img):
+        b = img.mean(axis=(1, 2, 3))
+        # Deterministic pseudo-class from content, spread over all 3 classes.
+        cls = jnp.floor(b * 1e4).astype(jnp.int32) % 3
+        return jax.nn.one_hot(cls, 3) * 10.0, None
+
+    return classifier, applies, x
+
+
+def test_binned_equals_select(key):
+    classifier, applies, x = _setup(key)
+    engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4, 8))
+    y_binned, intensity = engine(x)
+    select = jax.jit(make_adaptive_infer(classifier, applies, "select"))
+    y_sel, i_sel = select(x)
+    np.testing.assert_array_equal(intensity, np.asarray(i_sel))
+    assert len(np.unique(intensity)) >= 2  # the test actually exercises bins
+    np.testing.assert_allclose(np.asarray(y_binned), np.asarray(y_sel),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_binned_single_class(key):
+    classifier, applies, x = _setup(key, batch=3)
+
+    def all_high(img):
+        n = img.shape[0]
+        return jnp.tile(jnp.array([[0.0, 0.0, 10.0]]), (n, 1)), None
+
+    engine = BinnedAdaptiveEngine(all_high, applies, buckets=(1, 2, 4))
+    y, intensity = engine(x)
+    assert (intensity == 2).all()
+    want = applies[2](x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
