@@ -23,6 +23,7 @@ from adam_dehaze_tpu.nn.blocks import (
     UpBlock,
     resize_bilinear,
 )
+from adam_dehaze_tpu.parallel.sharding import shard_channels
 
 Dtype = Any
 
@@ -107,11 +108,13 @@ class MediumIntensityDehazeModel(nn.Module):
         e1 = ResidualBlock(c * 2, dtype=dt)(e1, train)
 
         e2 = ConvBlock(c * 4, 4, stride=2, padding=1, dtype=dt)(e1, train)
+        e2 = shard_channels(e2)  # TP hook: widest stage (4c channels)
         e2 = ResidualBlock(c * 4, dtype=dt)(e2, train)
         e2 = ResidualBlock(c * 4, dtype=dt)(e2, train)
 
         b = ResidualBlock(c * 4, dtype=dt)(e2, train)
         b = ResidualBlock(c * 4, dtype=dt)(b, train)
+        b = shard_channels(b)
 
         d1 = UpBlock(c * 2, dtype=dt)(b, train)
         d1 = ResidualBlock(c * 2, dtype=dt)(d1, train)
@@ -199,6 +202,7 @@ class HighIntensityDehazeModel(nn.Module):
         e1 = AttentionBlock(c * 2, use_pallas=pl, dtype=dt)(e1, train)
 
         e2 = ConvBlock(c * 4, 4, stride=2, padding=1, dtype=dt)(e1, train)
+        e2 = shard_channels(e2)  # TP hook: widest stage (4c channels)
         e2 = ResidualBlock(c * 4, dtype=dt)(e2, train)
         e2 = ResidualBlock(c * 4, dtype=dt)(e2, train)
         e2 = AttentionBlock(c * 4, use_pallas=pl, dtype=dt)(e2, train)
@@ -207,6 +211,7 @@ class HighIntensityDehazeModel(nn.Module):
         b = AttentionBlock(c * 4, use_pallas=pl, dtype=dt)(b, train)
         b = ResidualBlock(c * 4, dtype=dt)(b, train)
         b = AttentionBlock(c * 4, use_pallas=pl, dtype=dt)(b, train)
+        b = shard_channels(b)
 
         d1 = UpBlock(c * 2, dtype=dt)(b, train)
         d1 = ResidualBlock(c * 2, dtype=dt)(d1, train)
