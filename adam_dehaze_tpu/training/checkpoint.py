@@ -102,20 +102,112 @@ def convert_torch_linear(w: np.ndarray) -> np.ndarray:
     return np.transpose(w)
 
 
-def load_torch_resnet(pth_path: str, flax_params, flax_batch_stats):
+def _set(tree, path, value, expect_shape=True):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    if expect_shape and tuple(node[path[-1]].shape) != tuple(value.shape):
+        raise ValueError(f"Shape mismatch at {'/'.join(path)}: "
+                         f"{node[path[-1]].shape} vs {value.shape}")
+    node[path[-1]] = value
+
+
+def _bn_entries(sd, prefix, params_path, stats_path, out_p, out_s):
+    out_p.append((params_path + ("scale",), sd[f"{prefix}.weight"]))
+    out_p.append((params_path + ("bias",), sd[f"{prefix}.bias"]))
+    out_s.append((stats_path + ("mean",), sd[f"{prefix}.running_mean"]))
+    out_s.append((stats_path + ("var",), sd[f"{prefix}.running_var"]))
+
+
+def load_torch_resnet(pth_path_or_sd, flax_params, flax_batch_stats,
+                      stage_sizes=(2, 2, 2, 2), bottleneck: bool = False):
     """Convert a torchvision-style ResNet state_dict into our flax trees.
 
-    Best-effort name mapping by traversal order of conv/BN tensors; raises if
-    the shapes do not line up. Gated: only usable when a .pth is provided.
+    Returns (params, batch_stats) deep copies with converted weights. Handles
+    the backbone only (fc excluded, matching the reference's nn.Identity
+    replacement, classifier.py:36). Gated: requires torch + a .pth (or a
+    preloaded {name: ndarray} dict for testing).
     """
-    sd = _torch_state_dict(pth_path)
-    convs = [v for k, v in sd.items() if k.endswith("weight") and v.ndim == 4]
-    flat_params = jax.tree_util.tree_flatten_with_path(flax_params)[0]
-    flax_convs = [(p, v) for p, v in flat_params
-                  if getattr(v, "ndim", 0) == 4]
-    if len(convs) != len(flax_convs):
-        raise ValueError(
-            f"Conv count mismatch: torch {len(convs)} vs flax {len(flax_convs)}")
-    raise NotImplementedError(
-        "Full name-mapped conversion lands with detection-weight support; "
-        "conv-count validation passed.")
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+    block_name = "Bottleneck" if bottleneck else "BasicBlock"
+    n_convs_in_block = 3 if bottleneck else 2
+
+    assigns_p, assigns_s = [], []
+    assigns_p.append((("Conv_0", "kernel"), convert_torch_conv(sd["conv1.weight"])))
+    _bn_entries(sd, "bn1", ("BatchNorm_0",), ("BatchNorm_0",),
+                assigns_p, assigns_s)
+
+    block_idx = 0
+    for li, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            tp = f"layer{li}.{b}"
+            fp = f"{block_name}_{block_idx}"
+            for ci in range(n_convs_in_block):
+                assigns_p.append(((fp, f"Conv_{ci}", "kernel"),
+                                  convert_torch_conv(sd[f"{tp}.conv{ci + 1}.weight"])))
+                _bn_entries(sd, f"{tp}.bn{ci + 1}",
+                            (fp, f"BatchNorm_{ci}"), (fp, f"BatchNorm_{ci}"),
+                            assigns_p, assigns_s)
+            if f"{tp}.downsample.0.weight" in sd:
+                ci = n_convs_in_block
+                assigns_p.append(((fp, f"Conv_{ci}", "kernel"),
+                                  convert_torch_conv(sd[f"{tp}.downsample.0.weight"])))
+                _bn_entries(sd, f"{tp}.downsample.1",
+                            (fp, f"BatchNorm_{ci}"), (fp, f"BatchNorm_{ci}"),
+                            assigns_p, assigns_s)
+            block_idx += 1
+
+    for path, value in assigns_p:
+        _set(params, path, value)
+    for path, value in assigns_s:
+        _set(stats, path, value)
+    return params, stats
+
+
+_VGG16_TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_NAMES = ("conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1",
+                "conv3_2", "conv3_3", "conv4_1", "conv4_2", "conv4_3",
+                "conv5_1", "conv5_2", "conv5_3")
+
+
+def load_torch_vgg16(pth_path_or_sd, flax_params):
+    """Convert torchvision VGG16 `features` weights into VGG16Features params.
+    Only the convs present in the flax tree (up to the deepest tap) are
+    filled."""
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    inner = params["params"] if "params" in params else params
+    for idx, name in zip(_VGG16_TORCH_CONV_IDX, _VGG16_NAMES):
+        if name not in inner:
+            continue
+        key = f"features.{idx}.weight"
+        if key not in sd:
+            key = f"{idx}.weight"
+        _set(inner, (name, "kernel"), convert_torch_conv(sd[key]))
+        bkey = key.replace("weight", "bias")
+        _set(inner, (name, "bias"), sd[bkey])
+    return params
+
+
+def load_torch_lpips(pth_path_or_sd, flax_params):
+    """Convert `lpips` package linear-head weights (lin0..lin4) into our
+    LPIPS params (losses/lpips.py). AlexNet trunk weights convert separately
+    via the alexnet keys if present."""
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    inner = params["params"] if "params" in params else params
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if key in sd:
+                w = np.asarray(sd[key]).reshape(-1)  # (1, C, 1, 1) -> (C,)
+                _set(inner, (f"lin{i}",), w)
+                break
+    return params

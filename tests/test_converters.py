@@ -1,0 +1,110 @@
+"""Torch-weight converter tests using synthetic state_dicts with torchvision
+naming (torchvision itself is unavailable; shapes follow its conventions)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adam_dehaze_tpu.losses.lpips import LPIPS
+from adam_dehaze_tpu.nn.resnet import resnet18
+from adam_dehaze_tpu.nn.vgg import VGG16Features
+from adam_dehaze_tpu.training.checkpoint import (
+    load_torch_lpips,
+    load_torch_resnet,
+    load_torch_vgg16,
+)
+
+
+def _fake_resnet18_sd(rng):
+    """State dict with torchvision resnet18 key names and shapes."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.running_var"] = np.abs(rng.standard_normal(c)).astype(np.float32) + 1
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    in_ch = 64
+    for li, w in enumerate(widths, start=1):
+        for b in range(2):
+            p = f"layer{li}.{b}"
+            conv(f"{p}.conv1", w, in_ch if b == 0 else w, 3)
+            bn(f"{p}.bn1", w)
+            conv(f"{p}.conv2", w, w, 3)
+            bn(f"{p}.bn2", w)
+            if b == 0 and (li > 1):
+                conv(f"{p}.downsample.0", w, in_ch, 1)
+                bn(f"{p}.downsample.1", w)
+        in_ch = w
+    return sd
+
+
+def test_resnet18_conversion_roundtrip(key, rng):
+    model = resnet18()
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init(key, x)
+    sd = _fake_resnet18_sd(rng)
+    params, stats = load_torch_resnet(sd, vars_["params"], vars_["batch_stats"])
+    # Every converted leaf matches its source tensor.
+    np.testing.assert_allclose(
+        params["Conv_0"]["kernel"],
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(params["BasicBlock_2"]["Conv_2"]["kernel"],
+                               np.transpose(sd["layer2.0.downsample.0.weight"],
+                                            (2, 3, 1, 0)))
+    np.testing.assert_allclose(stats["BasicBlock_7"]["BatchNorm_1"]["var"],
+                               sd["layer4.1.bn2.running_var"])
+    # Forward still runs with converted weights.
+    out = model.apply({"params": params, "batch_stats": stats}, x)
+    assert out.shape == (1, 512)
+
+
+def test_resnet18_conversion_shape_guard(key, rng):
+    model = resnet18()
+    vars_ = model.init(key, jnp.zeros((1, 32, 32, 3)))
+    sd = _fake_resnet18_sd(rng)
+    sd["conv1.weight"] = sd["conv1.weight"][:, :, :3, :3]  # corrupt
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        load_torch_resnet(sd, vars_["params"], vars_["batch_stats"])
+
+
+def test_vgg16_conversion(key, rng):
+    net = VGG16Features(taps=("relu2_2", "relu3_3", "relu4_3"))
+    vars_ = net.init(key, jnp.zeros((1, 32, 32, 3)))
+    sd = {}
+    widths = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+              (256, 256), (256, 256), (512, 256), (512, 512), (512, 512),
+              (512, 512), (512, 512), (512, 512)]
+    for idx, (o, i) in zip((0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28),
+                           widths):
+        sd[f"features.{idx}.weight"] = rng.standard_normal(
+            (o, i, 3, 3)).astype(np.float32)
+        sd[f"features.{idx}.bias"] = rng.standard_normal(o).astype(np.float32)
+    params = load_torch_vgg16(sd, vars_)
+    np.testing.assert_allclose(
+        params["params"]["conv1_1"]["kernel"],
+        np.transpose(sd["features.0.weight"], (2, 3, 1, 0)))
+    out = net.apply(params, jnp.zeros((1, 32, 32, 3)))
+    assert "relu4_3" in out
+
+
+def test_lpips_head_conversion(key, rng):
+    m = LPIPS()
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = m.init(key, x, x)
+    chans = [64, 192, 384, 256, 256]
+    sd = {f"lin{i}.model.1.weight":
+          np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32)
+          for i, c in enumerate(chans)}
+    params = load_torch_lpips(sd, vars_)
+    np.testing.assert_allclose(params["params"]["lin0"],
+                               sd["lin0.model.1.weight"].reshape(-1))
+    d = m.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(d), [0.0], atol=1e-6)
