@@ -1,0 +1,189 @@
+"""Detection fine-tuning (FCOS losses + trainer).
+
+The reference exposes `detection.fine_tune` / learning-rate config
+(reference: config/config.yaml:63-72) but never actually trains its detector
+(only inference in evaluate.py). Here fine-tuning is implemented for the
+TPU-native FCOS detector: anchor-free target assignment, sigmoid focal
+classification loss, IoU regression loss on positives, and BCE centerness —
+all static-shape and batched under one jitted step.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adam_dehaze_tpu.data.detection import get_detection_dataloader
+from adam_dehaze_tpu.models.detection import FCOSDetector, create_detection_model
+from adam_dehaze_tpu.training import checkpoint as ckpt
+from adam_dehaze_tpu.training.common import device_batch, state_to_tree
+from adam_dehaze_tpu.training.logging import MetricsLogger
+from adam_dehaze_tpu.training.state import TrainState, make_optimizer
+
+# Per-level max-offset ranges (stride 8, 16, 32).
+_LEVEL_RANGES = ((0.0, 64.0), (64.0, 128.0), (128.0, 1e8))
+
+
+def sigmoid_focal_loss(logits, targets, alpha: float = 0.25,
+                       gamma: float = 2.0):
+    """Per-element focal loss; targets are {0,1} one-hot maps."""
+    p = jax.nn.sigmoid(logits)
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return alpha_t * ((1 - p_t) ** gamma) * ce
+
+
+def _assign_level(boxes, labels, n_boxes, h, w, stride, level_range,
+                  num_classes):
+    """FCOS target assignment for one pyramid level.
+
+    boxes: (M, 4) xyxy padded; labels: (M,); n_boxes: scalar.
+    Returns (cls_target (H, W, C), box_target (H, W, 4), ctr_target (H, W),
+             pos_mask (H, W)).
+    """
+    ys = (jnp.arange(h) + 0.5) * stride
+    xs = (jnp.arange(w) + 0.5) * stride
+    cy, cx = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+
+    m = boxes.shape[0]
+    valid = jnp.arange(m) < n_boxes
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    # Offsets (H, W, M)
+    l = cx[..., None] - x1
+    t = cy[..., None] - y1
+    r = x2 - cx[..., None]
+    b = y2 - cy[..., None]
+    ltrb = jnp.stack([l, t, r, b], axis=-1)  # (H, W, M, 4)
+    inside = jnp.min(ltrb, axis=-1) > 0
+    max_off = jnp.max(ltrb, axis=-1)
+    in_range = (max_off >= level_range[0]) & (max_off <= level_range[1])
+    candidate = inside & in_range & valid[None, None, :]
+
+    area = (x2 - x1) * (y2 - y1)
+    big = 1e18
+    cand_area = jnp.where(candidate, area[None, None, :], big)
+    best = jnp.argmin(cand_area, axis=-1)  # (H, W)
+    pos = jnp.min(cand_area, axis=-1) < big
+
+    best_ltrb = jnp.take_along_axis(
+        ltrb, best[..., None, None], axis=2)[:, :, 0, :]  # (H, W, 4)
+    best_label = labels[best]  # (H, W)
+
+    cls_target = jax.nn.one_hot(jnp.where(pos, best_label, 0), num_classes)
+    cls_target = cls_target * pos[..., None]
+
+    lr_min = jnp.minimum(best_ltrb[..., 0], best_ltrb[..., 2])
+    lr_max = jnp.maximum(best_ltrb[..., 0], best_ltrb[..., 2])
+    tb_min = jnp.minimum(best_ltrb[..., 1], best_ltrb[..., 3])
+    tb_max = jnp.maximum(best_ltrb[..., 1], best_ltrb[..., 3])
+    ctr = jnp.sqrt(jnp.clip((lr_min / jnp.maximum(lr_max, 1e-6))
+                            * (tb_min / jnp.maximum(tb_max, 1e-6)), 0, 1))
+    return cls_target, best_ltrb, jnp.where(pos, ctr, 0.0), pos
+
+
+def _iou_loss(pred_ltrb, target_ltrb):
+    """IoU loss between predicted/target center-offset boxes (both >= 0)."""
+    pl_, pt, pr, pb = [pred_ltrb[..., i] for i in range(4)]
+    tl, tt, tr, tb = [target_ltrb[..., i] for i in range(4)]
+    p_area = (pl_ + pr) * (pt + pb)
+    t_area = (tl + tr) * (tt + tb)
+    iw = jnp.minimum(pl_, tl) + jnp.minimum(pr, tr)
+    ih = jnp.minimum(pt, tt) + jnp.minimum(pb, tb)
+    inter = jnp.clip(iw, 0) * jnp.clip(ih, 0)
+    union = p_area + t_area - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+    return -jnp.log(jnp.clip(iou, 1e-6, 1.0))
+
+
+def fcos_loss(level_outputs: Sequence[Dict], boxes, labels, n_boxes,
+              num_classes: int):
+    """Total FCOS loss over pyramid levels for a batch.
+
+    boxes: (B, M, 4); labels: (B, M); n_boxes: (B,)."""
+    total_cls = 0.0
+    total_box = 0.0
+    total_ctr = 0.0
+    total_pos = 0.0
+    for lvl, rng in zip(level_outputs, _LEVEL_RANGES):
+        logits = lvl["logits"]
+        offsets = lvl["offsets"]
+        ctr_logits = lvl["centerness"][..., 0]
+        bsz, h, w, c = logits.shape
+        assign = jax.vmap(
+            lambda bx, lb, nb: _assign_level(bx, lb, nb, h, w, lvl["stride"],
+                                             rng, c))
+        cls_t, box_t, ctr_t, pos = assign(boxes, labels, n_boxes)
+        total_cls = total_cls + jnp.sum(sigmoid_focal_loss(logits, cls_t))
+        posf = pos.astype(jnp.float32)
+        total_box = total_box + jnp.sum(_iou_loss(offsets, box_t) * posf)
+        total_ctr = total_ctr + jnp.sum(
+            optax.sigmoid_binary_cross_entropy(ctr_logits, ctr_t) * posf)
+        total_pos = total_pos + jnp.sum(posf)
+    n_pos = jnp.maximum(total_pos, 1.0)
+    return {
+        "cls": total_cls / n_pos,
+        "box": total_box / n_pos,
+        "ctr": total_ctr / n_pos,
+        "total": (total_cls + total_box + total_ctr) / n_pos,
+        "n_pos": total_pos,
+    }
+
+
+def make_detection_train_step(module: FCOSDetector, tx):
+    @jax.jit
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            outs, mut = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["hazy"], True, mutable=["batch_stats"])
+            losses = fcos_loss(outs, batch["boxes"], batch["labels"],
+                               batch["n_boxes"],
+                               module.num_classes)
+            return losses["total"], (mut["batch_stats"], losses)
+
+        (_, (bs, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(tx, grads, new_batch_stats=bs)
+        return new_state, losses
+
+    return step
+
+
+def train_detection(config, epochs: int = None, resume: bool = False):
+    """Fine-tune the detector on the detection dataset; returns
+    (DetectionModel, TrainState)."""
+    det = create_detection_model(config)
+    key = jax.random.PRNGKey(config["seed"] + 7)
+    variables = det.init(key, image_size=512)
+    tx = make_optimizer(config["detection"]["learning_rate"],
+                        config["detection"].get("weight_decay", 0.0))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+
+    loader = get_detection_dataloader(config, split="test")
+    step = make_detection_train_step(det.module, tx)
+    logger = MetricsLogger(os.path.join(config.get("_logs_dir", "logs"),
+                                        "detection"))
+    ckpt_dir = config["detection"]["checkpoint_dir"]
+    epochs = epochs if epochs is not None else 1
+    for epoch in range(epochs):
+        tots: List[float] = []
+        for batch in loader:
+            b = device_batch(batch)
+            state, losses = step(state, b)
+            tots.append(float(losses["total"]))
+        avg = float(np.mean(tots)) if tots else float("nan")
+        logger.scalars(epoch, {"train/loss": avg})
+        print(f"[detection] Epoch {epoch + 1}/{epochs}: loss={avg:.4f}")
+        ckpt.save_checkpoint(ckpt_dir, "best_model", state_to_tree(state),
+                             {"epoch": epoch + 1, "loss": avg})
+    det.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    logger.close()
+    return det, state
