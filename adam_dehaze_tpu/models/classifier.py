@@ -58,6 +58,27 @@ class FogIntensityClassifier(nn.Module):
         return logits.astype(jnp.float32), features
 
 
+class DenseFeatureExtractor(nn.Module):
+    """Dense (spatial) feature maps from a backbone, no pooling/head
+    (reference: models/classifier.py:105-136 — defined there but unused by
+    the pipeline; provided for API parity). Returns the last stage map
+    (B, H/32, W/32, C)."""
+    model_name: str = "resnet18"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from adam_dehaze_tpu.nn.resnet import resnet18, resnet34, resnet50
+        ctors = {"resnet18": resnet18, "resnet34": resnet34,
+                 "resnet50": resnet50}
+        if self.model_name not in ctors:
+            raise ValueError(
+                f"Unsupported model for feature extraction: {self.model_name}")
+        backbone = ctors[self.model_name](dtype=self.dtype, return_stages=True)
+        _, stages = backbone(x, train)
+        return stages[-1]
+
+
 def create_classifier(config) -> FogIntensityClassifier:
     """(reference: models/classifier.py:139-145)"""
     dtype = jnp.dtype(config.get("tpu", {}).get("compute_dtype", "float32"))

@@ -1,0 +1,51 @@
+"""Multi-host (DCN) support.
+
+The reference is strictly single-process (SURVEY.md §2.3); this layer is new
+design for pod-scale runs: `jax.distributed` process bootstrap, global mesh
+construction spanning hosts (ICI within a slice, DCN across), per-host data
+sharding, and cross-host metric aggregation.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> Dict[str, int]:
+    """Bootstrap jax.distributed when running multi-process; no-op for a
+    single process. Returns {process_index, process_count, local_devices,
+    global_devices}."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+    }
+
+
+def host_data_slice(global_batch: int) -> slice:
+    """The contiguous slice of a global batch this host should load —
+    per-host data loading so no host reads the full corpus."""
+    per_host = global_batch // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)
+
+
+def all_hosts_mean(value: float) -> float:
+    """Average a host-local scalar metric across processes (DCN allgather);
+    identity for a single process."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(value))
+    return float(np.mean(gathered))
