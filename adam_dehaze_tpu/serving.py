@@ -1,0 +1,90 @@
+"""High-level serving API: load a trained experiment and dehaze images.
+
+This is the "product" entry point a reference user lands on after training
+(the reference's demo mode was an unimplemented TODO, main.py:210-215).
+
+    dehazer = AdaptiveDehazer.from_experiment("experiments/exp1")
+    out = dehazer(images_nhwc_float01)            # soft routing (default)
+    out, intensity = dehazer.route_hard(images)   # binned hard routing
+
+Modes map onto the routing engines in models/routing.py:
+- soft: one fused jit, all branches + blend (throughput).
+- switch: per-image lax.switch (lowest latency, exactly one branch/image).
+- binned: host-binned buckets (adaptive FLOPs at batch scale).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adam_dehaze_tpu.config import load_config, update_checkpoint_paths
+
+
+class AdaptiveDehazer:
+    def __init__(self, router, state, config):
+        self.router = router
+        self.config = config
+        self._variables = {"params": state.params,
+                           "batch_stats": state.batch_stats}
+        self._soft = jax.jit(
+            lambda x: router.apply(self._variables, x, train=False))
+        self._engines: Dict[str, object] = {}
+
+    @classmethod
+    def from_experiment(cls, experiment_dir: str,
+                        config_path: Optional[str] = None) -> "AdaptiveDehazer":
+        """Load config + best joint checkpoint from an experiment dir."""
+        cfg_file = config_path or os.path.join(experiment_dir, "config.yaml")
+        config = load_config(cfg_file if os.path.exists(cfg_file) else None)
+        config = update_checkpoint_paths(config, experiment_dir)
+        from adam_dehaze_tpu.evaluation.evaluate import _load_joint
+        router, state = _load_joint(config)
+        return cls(router, state, config)
+
+    def __call__(self, images) -> np.ndarray:
+        """Soft-routed dehazing: (N, H, W, 3) float [0,1] -> same."""
+        dehazed, _ = self._soft(jnp.asarray(images))
+        return np.asarray(dehazed)
+
+    def _branch_applies(self):
+        from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+        fns = []
+        for level in INTENSITY_ORDER:
+            sub = {"params": self._variables["params"][f"models_{level}"],
+                   "batch_stats": self._variables["batch_stats"][f"models_{level}"]}
+            module = self.router.models[level]
+            fns.append(lambda x, m=module, v=sub: m.apply(v, x))
+        return fns
+
+    def _classifier_apply(self):
+        sub = {"params": self._variables["params"]["classifier"],
+               "batch_stats": self._variables["batch_stats"]["classifier"]}
+        clf = self.router.classifier
+        return lambda x: clf.apply(sub, x)
+
+    def route_hard(self, images) -> Tuple[np.ndarray, np.ndarray]:
+        """Binned hard routing: each image pays only its own branch."""
+        if "binned" not in self._engines:
+            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+            self._engines["binned"] = BinnedAdaptiveEngine(
+                self._classifier_apply(), self._branch_applies())
+        out, intensity = self._engines["binned"](jnp.asarray(images))
+        return np.asarray(out), np.asarray(intensity)
+
+    def route_switch(self, images) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-image lax.switch serving (lowest single-image latency)."""
+        if "switch" not in self._engines:
+            from adam_dehaze_tpu.models.routing import make_adaptive_infer
+            self._engines["switch"] = jax.jit(make_adaptive_infer(
+                self._classifier_apply(), self._branch_applies(), "switch"))
+        out, intensity = self._engines["switch"](jnp.asarray(images))
+        return np.asarray(out), np.asarray(intensity)
+
+    def classify(self, images) -> np.ndarray:
+        """Fog-intensity predictions (N,) in {0: low, 1: medium, 2: high}."""
+        logits, _ = self._classifier_apply()(jnp.asarray(images))
+        return np.asarray(jnp.argmax(logits, axis=1))

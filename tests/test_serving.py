@@ -1,0 +1,61 @@
+import os
+
+import numpy as np
+import pytest
+
+from adam_dehaze_tpu.config import default_config
+from adam_dehaze_tpu.data.preprocessing import generate_synthetic_dataset
+from adam_dehaze_tpu.serving import AdaptiveDehazer
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    """A minimal 'trained' experiment: joint checkpoint from one epoch."""
+    import yaml
+
+    from adam_dehaze_tpu.training.train_joint import train_joint_model
+
+    tmp = str(tmp_path_factory.mktemp("serve"))
+    root = os.path.join(tmp, "data")
+    generate_synthetic_dataset(root, n_per_class=4, size=32, seed=3)
+    cfg = default_config()
+    cfg["dataset"].update(train_path=root, val_path=root, test_path=root,
+                          img_size=32, batch_size=2, num_workers=2)
+    cfg["classifier"]["model"] = "mobilenet_v2"
+    for level, ch in (("low", 4), ("medium", 4), ("high", 8)):
+        cfg["dehazing"][level].update(channels=ch, blocks=1)
+    cfg["joint_training"]["epochs"] = 1
+    exp_dir = os.path.join(tmp, "exp")
+    ckpt_root = os.path.join(exp_dir, "checkpoints")
+    cfg["classifier"]["checkpoint_dir"] = os.path.join(ckpt_root, "classifier")
+    cfg["dehazing"]["checkpoint_dir"] = os.path.join(ckpt_root, "dehazing")
+    cfg["joint_training"]["checkpoint_dir"] = os.path.join(ckpt_root, "joint")
+    cfg["_logs_dir"] = os.path.join(exp_dir, "logs")
+    cfg["tpu"]["use_pallas"] = False
+    cfg["tpu"]["compute_dtype"] = "float32"
+    train_joint_model(cfg)
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.yaml"), "w") as f:
+        yaml.dump({k: v for k, v in cfg.items() if not k.startswith("_")}, f)
+    return exp_dir
+
+
+def test_serving_roundtrip(experiment, rng):
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    images = rng.random((4, 32, 32, 3), dtype=np.float32)
+    out = dehazer(images)
+    assert out.shape == images.shape
+    assert out.min() >= 0 and out.max() <= 1
+
+    cls = dehazer.classify(images)
+    assert cls.shape == (4,)
+    assert set(np.unique(cls)) <= {0, 1, 2}
+
+    hard, intensity = dehazer.route_hard(images)
+    assert hard.shape == images.shape
+    np.testing.assert_array_equal(intensity, cls)
+
+    sw, i_sw = dehazer.route_switch(images)
+    np.testing.assert_array_equal(i_sw, intensity)
+    # Switch and binned paths agree (same branch per image).
+    np.testing.assert_allclose(sw, hard, rtol=1e-5, atol=1e-6)
