@@ -351,19 +351,33 @@ def create_low_intensity_model(config) -> nn.Module:
 
 
 def create_medium_intensity_model(config) -> nn.Module:
-    """(reference: medium_intensity.py:201-215)"""
+    """(reference: medium_intensity.py:201-215; 'encoder_decoder' additionally
+    exposes the generic fixed EncoderDecoder)"""
     sub = config["dehazing"]["medium"]
-    cls = COrunInspiredModel if sub["model_type"] == "corun" else MediumIntensityDehazeModel
-    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"],
-               **_common_kwargs(config))
+    kw = _common_kwargs(config)
+    if sub["model_type"] == "corun":
+        cls = COrunInspiredModel
+    elif sub["model_type"] == "encoder_decoder":
+        return EncoderDecoder(base_channels=sub["channels"],
+                              n_blocks=sub["blocks"], use_attention=False, **kw)
+    else:
+        cls = MediumIntensityDehazeModel
+    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"], **kw)
 
 
 def create_high_intensity_model(config) -> nn.Module:
-    """(reference: high_intensity.py:225-239)"""
+    """(reference: high_intensity.py:225-239; 'encoder_decoder' additionally
+    exposes the generic fixed EncoderDecoder with attention)"""
     sub = config["dehazing"]["high"]
-    cls = DualBranchAttentionModel if sub["model_type"] == "dual_branch" else HighIntensityDehazeModel
-    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"],
-               **_common_kwargs(config))
+    kw = _common_kwargs(config)
+    if sub["model_type"] == "dual_branch":
+        cls = DualBranchAttentionModel
+    elif sub["model_type"] == "encoder_decoder":
+        return EncoderDecoder(base_channels=sub["channels"],
+                              n_blocks=sub["blocks"], use_attention=True, **kw)
+    else:
+        cls = HighIntensityDehazeModel
+    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"], **kw)
 
 
 def create_branch_models(config):

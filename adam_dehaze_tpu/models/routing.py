@@ -171,10 +171,17 @@ class BinnedAdaptiveEngine:
                 return b
         return self.buckets[-1]
 
-    def __call__(self, x):
+    def __call__(self, x, intensity=None):
+        """intensity: optional precomputed labels (the classifier still runs
+        for its logits cost — mirrors HardRouter's intensity override,
+        reference: routing.py:23-43 — but binning follows the given labels,
+        e.g. for oracle-routed evaluation)."""
         import numpy as np
         logits, _ = self.classifier_apply(x)
-        intensity = np.asarray(jnp.argmax(logits, axis=1))
+        if intensity is None:
+            intensity = np.asarray(jnp.argmax(logits, axis=1))
+        else:
+            intensity = np.asarray(intensity)
         out = np.zeros_like(np.asarray(x))
         for cls, branch in enumerate(self.branch_applies):
             idxs = np.nonzero(intensity == cls)[0]

