@@ -342,12 +342,22 @@ def _common_kwargs(config):
     return {"dtype": dtype, "use_pallas": use_pallas(config)}
 
 
+def _maybe_remat(cls, config):
+    """Rematerialisation is applied at the train-step level
+    (training/train_dehazing.py, train_joint.py: jax.checkpoint around the
+    forward with `train` closed over) — flax-level nn.remat would trace the
+    bool `train` argument. This hook is kept for config surface stability."""
+    del config
+    return cls
+
+
 def create_low_intensity_model(config) -> nn.Module:
     """(reference: low_intensity.py:127-140)"""
     sub = config["dehazing"]["low"]
     cls = LightweightDehazeModel if sub["model_type"] == "lightweight" else LowIntensityUNet
-    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"],
-               **_common_kwargs(config))
+    return _maybe_remat(cls, config)(
+        base_channels=sub["channels"], n_blocks=sub["blocks"],
+        **_common_kwargs(config))
 
 
 def create_medium_intensity_model(config) -> nn.Module:
@@ -362,7 +372,8 @@ def create_medium_intensity_model(config) -> nn.Module:
                               n_blocks=sub["blocks"], use_attention=False, **kw)
     else:
         cls = MediumIntensityDehazeModel
-    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"], **kw)
+    return _maybe_remat(cls, config)(
+        base_channels=sub["channels"], n_blocks=sub["blocks"], **kw)
 
 
 def create_high_intensity_model(config) -> nn.Module:
@@ -377,7 +388,8 @@ def create_high_intensity_model(config) -> nn.Module:
                               n_blocks=sub["blocks"], use_attention=True, **kw)
     else:
         cls = HighIntensityDehazeModel
-    return cls(base_channels=sub["channels"], n_blocks=sub["blocks"], **kw)
+    return _maybe_remat(cls, config)(
+        base_channels=sub["channels"], n_blocks=sub["blocks"], **kw)
 
 
 def create_branch_models(config):

@@ -164,6 +164,11 @@ class BinnedAdaptiveEngine:
         self.classifier_apply = jax.jit(classifier_apply)
         self.branch_applies = [jax.jit(f) for f in branch_applies]
         self.buckets = tuple(sorted(buckets))
+        # Device-side gather/scatter (one compiled variant per bucket size);
+        # image data never leaves the device — only the (B,) intensity vector
+        # crosses to host for the binning logic.
+        self._gather = jax.jit(lambda x, idx: jnp.take(x, idx, axis=0))
+        self._scatter = jax.jit(lambda out, idx, y: out.at[idx].set(y))
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -177,12 +182,13 @@ class BinnedAdaptiveEngine:
         reference: routing.py:23-43 — but binning follows the given labels,
         e.g. for oracle-routed evaluation)."""
         import numpy as np
+        x = jnp.asarray(x)
         logits, _ = self.classifier_apply(x)
         if intensity is None:
             intensity = np.asarray(jnp.argmax(logits, axis=1))
         else:
             intensity = np.asarray(intensity)
-        out = np.zeros_like(np.asarray(x))
+        out = jnp.zeros_like(x)
         for cls, branch in enumerate(self.branch_applies):
             idxs = np.nonzero(intensity == cls)[0]
             if idxs.size == 0:
@@ -191,14 +197,15 @@ class BinnedAdaptiveEngine:
             while pos < idxs.size:
                 chunk = idxs[pos:pos + self.buckets[-1]]
                 b = self._bucket(chunk.size)
-                sub = np.asarray(x)[chunk]
-                if b > chunk.size:  # pad to the bucket's static shape
-                    pad = np.repeat(sub[-1:], b - chunk.size, axis=0)
-                    sub = np.concatenate([sub, pad], axis=0)
-                y = np.asarray(branch(jnp.asarray(sub)))
-                out[chunk] = y[:chunk.size]
+                # Pad indices to the bucket's static shape; duplicate rows
+                # just recompute + rewrite the same image.
+                padded = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - chunk.size)])
+                idx_dev = jnp.asarray(padded)
+                y = branch(self._gather(x, idx_dev))
+                out = self._scatter(out, idx_dev, y)
                 pos += chunk.size
-        return jnp.asarray(out), intensity
+        return out, intensity
 
 
 def make_adaptive_infer(

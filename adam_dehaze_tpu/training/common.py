@@ -32,3 +32,24 @@ def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over valid rows of a padded batch."""
     m = mask.astype(values.dtype)
     return jnp.sum(values * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def device_prefetch(loader, depth: int = 2):
+    """Iterate a host DataLoader with device-side lookahead: the next batch's
+    host->device transfer overlaps the current step's compute (JAX transfers
+    are async). Yields device batches."""
+    import collections
+    queue = collections.deque()
+    it = iter(loader)
+    try:
+        for _ in range(depth):
+            queue.append(device_batch(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        batch = queue.popleft()
+        try:
+            queue.append(device_batch(next(it)))
+        except StopIteration:
+            pass
+        yield batch

@@ -22,6 +22,7 @@ from adam_dehaze_tpu.models.classifier import create_classifier
 from adam_dehaze_tpu.training import checkpoint as ckpt
 from adam_dehaze_tpu.training.common import (
     device_batch,
+    device_prefetch,
     masked_mean,
     state_to_tree,
     tree_to_state,
@@ -126,9 +127,9 @@ def train_classifier(config, resume: bool = False):
     for epoch in range(start_epoch, epochs):
         key, ek = jax.random.split(key)
         losses, accs = [], []
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader):
             ek, sk = jax.random.split(ek)
-            state, m = train_step(state, device_batch(batch), sk)
+            state, m = train_step(state, batch, sk)
             losses.append(m["loss"])
             accs.append(m["acc"])
         train_loss = float(np.mean(jax.device_get(losses)))

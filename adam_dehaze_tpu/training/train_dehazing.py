@@ -37,6 +37,7 @@ from adam_dehaze_tpu.ops.image import psnr, ssim_gray
 from adam_dehaze_tpu.training import checkpoint as ckpt
 from adam_dehaze_tpu.training.common import (
     device_batch,
+    device_prefetch,
     masked_mean,
     state_to_tree,
     tree_to_state,
@@ -84,16 +85,22 @@ def get_intensity_loader(config, split: str, intensity: str) -> DataLoader:
                       seed=config["seed"])
 
 
-def make_train_step(model, tx, loss, loss_params, augmentation=True):
+def make_train_step(model, tx, loss, loss_params, augmentation=True,
+                    remat=False):
+    def fwd(params, batch_stats, x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, True, mutable=["batch_stats"])
+    if remat:
+        # Recompute branch activations in the backward pass (HBM for FLOPs).
+        fwd = jax.checkpoint(fwd)
+
     @jax.jit
     def step(state: TrainState, batch, key):
         if augmentation:
             batch = augment_triplet(key, batch)
 
         def loss_fn(params):
-            out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["hazy"], True, mutable=["batch_stats"])
+            out, mut = fwd(params, state.batch_stats, batch["hazy"])
             total, comps = loss(loss_params, out, batch["clear"],
                                 hazy=batch["hazy"])
             return total, (mut["batch_stats"], comps)
@@ -162,16 +169,17 @@ def train_dehazing_model(intensity: str, config, resume: bool = False,
     train_loader = get_intensity_loader(config, "train", intensity)
     val_loader = get_intensity_loader(config, "val", intensity)
     train_step = make_train_step(model, tx, loss, loss_params,
-                                 config["dataset"].get("augmentation", True))
+                                 config["dataset"].get("augmentation", True),
+                                 remat=config.get("tpu", {}).get("remat", False))
     eval_step = make_eval_step(model, loss, loss_params)
 
     epochs = config["dehazing"].get("epochs", 30)
     for epoch in range(start_epoch, epochs):
         key, ek = jax.random.split(key)
         train_losses = []
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader):
             ek, sk = jax.random.split(ek)
-            state, comps = train_step(state, device_batch(batch), sk)
+            state, comps = train_step(state, batch, sk)
             train_losses.append(comps["total"])
         train_loss = float(np.mean(jax.device_get(train_losses))) \
             if train_losses else float("nan")

@@ -36,6 +36,7 @@ from adam_dehaze_tpu.ops.image import psnr, ssim_gray
 from adam_dehaze_tpu.training import checkpoint as ckpt
 from adam_dehaze_tpu.training.common import (
     device_batch,
+    device_prefetch,
     masked_mean,
     state_to_tree,
     tree_to_state,
@@ -114,7 +115,15 @@ def _apply_router(router, variables, x, train, rngs=None, mutable=False):
     return router.apply(variables, x, train=train, rngs=rngs)
 
 
-def make_train_step(router, tx, joint_loss, loss_params, augmentation=True):
+def make_train_step(router, tx, joint_loss, loss_params, augmentation=True,
+                    remat=False):
+    def fwd(params, batch_stats, x, kdrop):
+        return router.apply({"params": params, "batch_stats": batch_stats},
+                            x, train=True, rngs={"dropout": kdrop},
+                            mutable=["batch_stats"])
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
     @jax.jit
     def step(state: TrainState, batch, key):
         kaug, kdrop = jax.random.split(key)
@@ -122,10 +131,8 @@ def make_train_step(router, tx, joint_loss, loss_params, augmentation=True):
             batch = augment_triplet(kaug, batch)
 
         def loss_fn(params):
-            (dehazed, info), mut = router.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["hazy"], train=True, rngs={"dropout": kdrop},
-                mutable=["batch_stats"])
+            (dehazed, info), mut = fwd(params, state.batch_stats,
+                                       batch["hazy"], kdrop)
             logits = info.get("logits")
             total, comps = joint_loss(
                 loss_params, dehazed, batch["clear"], logits,
@@ -196,16 +203,17 @@ def train_joint_model(config, resume: bool = False):
     train_loader = get_dataloader(config, "train")
     val_loader = get_dataloader(config, "val")
     train_step = make_train_step(router, tx, joint_loss, loss_params,
-                                 config["dataset"].get("augmentation", True))
+                                 config["dataset"].get("augmentation", True),
+                                 remat=config.get("tpu", {}).get("remat", False))
     eval_step = make_eval_step(router, joint_loss, loss_params)
 
     epochs = config["joint_training"]["epochs"]
     for epoch in range(start_epoch, epochs):
         key, ek = jax.random.split(key)
         tots = []
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader):
             ek, sk = jax.random.split(ek)
-            state, m = train_step(state, device_batch(batch), sk)
+            state, m = train_step(state, batch, sk)
             tots.append(m["total"])
         train_loss = float(np.mean(jax.device_get(tots))) if tots else float("nan")
 
