@@ -181,6 +181,7 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
         for i in range(hazy.shape[0]):
             if not batch["mask"][i]:
                 continue
+            category = _CATEGORY_NAMES.get(int(batch["intensity"][i]))
             for dets, metrics in ((hazy_dets[i], hazy_metrics),
                                   (dehazed_dets[i], dehazed_metrics)):
                 for box, score, label in zip(dets["boxes"], dets["scores"],
@@ -188,14 +189,19 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
                     x1, y1, x2, y2 = box
                     metrics.add_detection_result(
                         image_id, int(label), [x1, y1, x2 - x1, y2 - y1],
-                        float(score))
+                        float(score), category=category)
             image_id += 1
 
-    out = {
-        "hazy": {"overall": hazy_metrics.evaluate() or {"mAP": 0.0}},
-        "dehazed": {"overall": dehazed_metrics.evaluate() or {"mAP": 0.0}},
+    # Per-intensity breakdown mirrors the reference's category re-evaluation
+    # (reference: metrics.py:210-241).
+    hazy_all = hazy_metrics.evaluate_by_category()
+    dehazed_all = dehazed_metrics.evaluate_by_category()
+    return {
+        "hazy": {"overall": hazy_all.pop("overall", {}) or {"mAP": 0.0},
+                 **hazy_all},
+        "dehazed": {"overall": dehazed_all.pop("overall", {}) or {"mAP": 0.0},
+                    **dehazed_all},
     }
-    return out
 
 
 def run_comprehensive_evaluation(config, router=None, state=None) -> Dict[str, Any]:

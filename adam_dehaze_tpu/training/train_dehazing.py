@@ -13,7 +13,6 @@ TPU-native differences:
 """
 from __future__ import annotations
 
-import copy
 import os
 from typing import Dict, Optional, Tuple
 

@@ -107,14 +107,6 @@ def _mask_classifier_grads(grads):
     return grads
 
 
-def _apply_router(router, variables, x, train, rngs=None, mutable=False):
-    kwargs = {}
-    if mutable:
-        return router.apply(variables, x, train=train, rngs=rngs,
-                            mutable=["batch_stats"])
-    return router.apply(variables, x, train=train, rngs=rngs)
-
-
 def make_train_step(router, tx, joint_loss, loss_params, augmentation=True,
                     remat=False):
     def fwd(params, batch_stats, x, kdrop):
