@@ -10,7 +10,7 @@ triplet, preserving the pairing invariant.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from procedural clear images + the on-device fog synthesiser
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

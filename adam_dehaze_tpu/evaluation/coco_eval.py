@@ -16,7 +16,7 @@ Protocol notes (matching COCOeval 'bbox' defaults):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

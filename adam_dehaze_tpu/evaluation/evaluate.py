@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from adam_dehaze_tpu.models.detection import (
     create_integrated_system,
 )
 from adam_dehaze_tpu.training import checkpoint as ckpt
-from adam_dehaze_tpu.training.common import device_batch, state_to_tree, tree_to_state
+from adam_dehaze_tpu.training.common import state_to_tree, tree_to_state
 from adam_dehaze_tpu.training.train_joint import build_router_state
 from adam_dehaze_tpu.utils import visualize
 

@@ -20,7 +20,7 @@ All routers return `(dehazed, info_dict)` with the reference's info keys.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

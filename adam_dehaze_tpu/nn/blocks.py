@@ -16,7 +16,7 @@ torch semantics: momentum 0.9 (torch's 0.1 "new-stat fraction"), eps 1e-5.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ convention (relu{stage}_{idx}) so the config surface matches.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,10 +9,9 @@ lower it without rebuilding (and without resetting Adam moments).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Optional
 
 import flax
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -9,7 +9,7 @@ augmentation inside), batched on-device validation, real `--resume`.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

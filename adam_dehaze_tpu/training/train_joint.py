@@ -20,7 +20,7 @@ routing.py:23) — a latent bug. We route hard with argmax(logits).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

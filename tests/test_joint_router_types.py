@@ -47,10 +47,15 @@ def test_joint_step_all_router_types(routing_type, key, rng):
         lambda a, b: bool(jnp.all(a == b)),
         state.params["classifier"], new_state.params["classifier"]))
     assert clf_same
-    diffs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()),
-        state.params["models_low"], new_state.params["models_low"]))
-    assert max(diffs) > 0
+    # At least one branch's params moved (under hard routing only the
+    # selected branches receive gradient — one-hot zeroes the rest).
+    moved = []
+    for level in ("models_low", "models_medium", "models_high"):
+        diffs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params[level], new_state.params[level]))
+        moved.append(max(diffs) > 0)
+    assert any(moved)
 
     eval_step = make_eval_step(router, joint_loss, loss_params)
     m = eval_step(new_state, {**batch, "mask": jnp.array([True, True])})
