@@ -53,8 +53,8 @@ class SoftRouter(nn.Module):
 
         ys = [outputs[n] for n in INTENSITY_ORDER if n in outputs]
         if self.use_pallas and len(ys) == 3:
-            from adam_dehaze_tpu.ops.pallas.blend import blend3_pallas
-            blended = blend3_pallas(weights, *ys)
+            from adam_dehaze_tpu.ops.pallas.blend import blend3
+            blended = blend3(weights, *ys)
         else:
             blended = jnp.zeros_like(x)
             for i, name in enumerate(INTENSITY_ORDER):
@@ -236,8 +236,8 @@ def make_adaptive_infer(
             weights = jax.nn.softmax(logits / temperature, axis=1)
             ys = [f(x) for f in branch_applies]
             if use_pallas:
-                from adam_dehaze_tpu.ops.pallas.blend import blend3_pallas
-                out = blend3_pallas(weights, *ys)
+                from adam_dehaze_tpu.ops.pallas.blend import blend3
+                out = blend3(weights, *ys)
             else:
                 out = sum(weights[:, i, None, None, None] * y
                           for i, y in enumerate(ys))

@@ -107,8 +107,8 @@ class AttentionBlock(nn.Module):
         spatial_w = self.param(
             "spatial_conv", nn.initializers.lecun_normal(), (7, 7, 2, 1), jnp.float32)
         if self.use_pallas:
-            from adam_dehaze_tpu.ops.pallas.cbam import spatial_gate_pallas
-            return spatial_gate_pallas(x, spatial_w.astype(self.dtype))
+            from adam_dehaze_tpu.ops.pallas.cbam import spatial_gate
+            return spatial_gate(x, spatial_w.astype(self.dtype))
         stats = jnp.stack(
             [jnp.mean(x, axis=-1), jnp.max(x, axis=-1)], axis=-1)
         gate = jax.lax.conv_general_dilated(

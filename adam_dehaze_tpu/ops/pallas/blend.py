@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,3 +62,25 @@ def blend3_reference(weights: jax.Array, low: jax.Array, med: jax.Array,
                      high: jax.Array) -> jax.Array:
     w = weights[:, :, None, None, None].astype(low.dtype)
     return w[:, 0] * low + w[:, 1] * med + w[:, 2] * high
+
+
+@jax.custom_vjp
+def blend3(weights: jax.Array, low: jax.Array, med: jax.Array,
+           high: jax.Array) -> jax.Array:
+    """Differentiable fused blend: Pallas forward, analytic backward."""
+    return blend3_pallas(weights, low, med, high)
+
+
+def _blend3_fwd(weights, low, med, high):
+    return blend3_pallas(weights, low, med, high), (weights, low, med, high)
+
+
+def _blend3_bwd(residuals, g):
+    weights, low, med, high = residuals
+    gw = jnp.stack([jnp.sum(g * y, axis=(1, 2, 3)) for y in (low, med, high)],
+                   axis=1).astype(weights.dtype)
+    wb = weights[:, :, None, None, None].astype(g.dtype)
+    return gw, wb[:, 0] * g, wb[:, 1] * g, wb[:, 2] * g
+
+
+blend3.defvjp(_blend3_fwd, _blend3_bwd)

@@ -105,9 +105,31 @@ def spatial_gate_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> 
 
 
 def spatial_gate_reference(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Plain-XLA reference of the same op (used by tests and as fallback)."""
+    """Plain-XLA reference of the same op (used by tests, as fallback, and
+    for the backward pass)."""
     stats = jnp.stack([jnp.mean(x, axis=-1), jnp.max(x, axis=-1)], axis=-1)
     gate = jax.lax.conv_general_dilated(
         stats.astype(x.dtype), w.astype(x.dtype), (1, 1), ((3, 3), (3, 3)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return x * jax.nn.sigmoid(gate)
+
+
+@jax.custom_vjp
+def spatial_gate(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Differentiable fused spatial gate: Pallas forward, XLA-derived
+    backward (pallas_call has no autodiff rule; the reference formulation
+    provides the exact gradient)."""
+    return spatial_gate_pallas(x, w)
+
+
+def _spatial_gate_fwd(x, w):
+    return spatial_gate_pallas(x, w), (x, w)
+
+
+def _spatial_gate_bwd(residuals, g):
+    x, w = residuals
+    _, vjp = jax.vjp(spatial_gate_reference, x, w)
+    return vjp(g)
+
+
+spatial_gate.defvjp(_spatial_gate_fwd, _spatial_gate_bwd)
