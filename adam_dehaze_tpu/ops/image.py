@@ -32,11 +32,16 @@ def psnr(pred: jax.Array, target: jax.Array, data_range: float = 1.0) -> jax.Arr
 
 
 def _uniform_filter(x: jax.Array, size: int) -> jax.Array:
-    """VALID-mode mean filter over the last two axes of (N, H, W)."""
+    """VALID-mode mean filter over the last two axes of (N, H, W).
+
+    precision=HIGHEST is essential: TPU convs default to bf16 passes, and the
+    variance term cov_norm*(uxx - ux*ux) catastrophically cancels at bf16
+    (observed SSIM > 1 on real hardware without this)."""
     w = jnp.full((size, size, 1, 1), 1.0 / (size * size), x.dtype)
     y = jax.lax.conv_general_dilated(
         x[..., None], w, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     return y[..., 0]
 
 
