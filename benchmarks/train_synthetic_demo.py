@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 SIZE = 128
-EPOCHS = 10
+EPOCHS = 30
 
 
 def main():

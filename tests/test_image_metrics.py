@@ -66,6 +66,17 @@ def test_ssim_bounds(rng):
     assert float(ssim_gray(jnp.asarray(noisy), jnp.asarray(a))[0]) < s_same
 
 
+def test_ssim_bounded_on_flat_images(rng):
+    """Near-flat images stress the variance-cancellation path: SSIM must stay
+    <= 1 (regression for the TPU bf16-conv precision bug; ops/image.py pins
+    precision=HIGHEST)."""
+    flat = np.full((2, 64, 64, 3), 0.5, np.float32)
+    flat += rng.normal(0, 0.01, flat.shape).astype(np.float32)
+    noisy = np.clip(flat + rng.normal(0, 0.02, flat.shape), 0, 1).astype(np.float32)
+    assert float(ssim_gray(jnp.asarray(flat), jnp.asarray(flat)).max()) <= 1 + 1e-5
+    assert float(ssim_gray(jnp.asarray(noisy), jnp.asarray(flat)).max()) <= 1.0
+
+
 def test_batch_quality(rng):
     a = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
     q = batch_quality(a, a)
