@@ -68,6 +68,10 @@ class ExpertParallelRouter:
             self.branch_fns[level] = jax.jit(
                 lambda x, m=module, v=variables: m.apply(v, x))
         self._cls = classifier_apply
+        self._blend = jax.jit(
+            lambda w, a, b, c: (w[:, 0, None, None, None] * a
+                                + w[:, 1, None, None, None] * b
+                                + w[:, 2, None, None, None] * c))
 
     def _input_sharding(self, level: str, batch: int) -> NamedSharding:
         """Shard the batch over the group when divisible, else replicate."""
@@ -85,11 +89,10 @@ class ExpertParallelRouter:
         for level in INTENSITY_ORDER:
             xg = jax.device_put(x, self._input_sharding(level, x.shape[0]))
             outs[level] = self.branch_fns[level](xg)
-        # Gather (device -> host -> default device) and blend.
-        ys = [jnp.asarray(jax.device_get(outs[level]))
-              for level in INTENSITY_ORDER]
-        w = np.asarray(jax.device_get(weights))
-        blended = sum(w[:, i, None, None, None] * np.asarray(y)
-                      for i, y in enumerate(ys))
-        return jnp.asarray(blended), {"weights": weights,
-                                      "individual_outputs": outs}
+        # Gather the branch outputs onto one submesh (device-to-device ICI
+        # transfer, no host round-trip) and blend there.
+        target = NamedSharding(self.meshes[INTENSITY_ORDER[0]], P())
+        ys = [jax.device_put(outs[level], target) for level in INTENSITY_ORDER]
+        w = jax.device_put(weights, target)
+        blended = self._blend(w, *ys)
+        return blended, {"weights": weights, "individual_outputs": outs}
