@@ -32,12 +32,15 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
-        x = (x - _SHIFT) / _SCALE
-        y = (y - _SHIFT) / _SCALE
+        n = x.shape[0]
+        both = (jnp.concatenate([x, y], axis=0) - _SHIFT) / _SCALE
         net = AlexNetFeatures(dtype=self.dtype)
-        fx = net(x)
-        fy = net(y)
-        total = jnp.zeros((x.shape[0],), jnp.float32)
+        # Single trunk pass over the concatenated pair (batch-independent
+        # features; halves kernel launches vs separate x/y passes).
+        feats = net(both)
+        fx = [f[:n] for f in feats]
+        fy = [f[n:] for f in feats]
+        total = jnp.zeros((n,), jnp.float32)
         for i, (a, b) in enumerate(zip(fx, fy)):
             c = a.shape[-1]
             an = a * jax.lax.rsqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MS_PER_IMAGE = 30.0
-BATCH = 24  # divisible by 3 for balanced binning
+BATCH = 48  # divisible by 3 for balanced binning
 SIZE = 256
 WARMUP = 5
 ITERS = 30
