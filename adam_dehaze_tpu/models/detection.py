@@ -212,8 +212,39 @@ def nms(boxes: np.ndarray, scores: np.ndarray, labels: np.ndarray,
     return np.array(keep, np.int64)
 
 
+def _device_topk(level_outputs, k: int):
+    """On-device candidate selection: per level, fuse sigmoid scoring with a
+    top-k over locations so only (B, k) candidates cross to the host instead
+    of the full dense maps."""
+    results = []
+    for lvl in level_outputs:
+        logits, offsets, ctr = lvl["logits"], lvl["offsets"], lvl["centerness"]
+        stride = lvl["stride"]
+        b, h, w, c = logits.shape
+        probs = jax.nn.sigmoid(logits) * jax.nn.sigmoid(ctr)
+        probs = probs.at[..., 0].set(0.0)  # background
+        flat = probs.reshape(b, h * w, c)
+        scores = jnp.max(flat, axis=-1)
+        labels = jnp.argmax(flat, axis=-1)
+        kk = min(k, h * w)
+        top_scores, top_idx = jax.lax.top_k(scores, kk)
+        ys = top_idx // w
+        xs = top_idx % w
+        cx = (xs.astype(jnp.float32) + 0.5) * stride
+        cy = (ys.astype(jnp.float32) + 0.5) * stride
+        off = jnp.take_along_axis(offsets.reshape(b, h * w, 4),
+                                  top_idx[..., None], axis=1)
+        boxes = jnp.stack([cx - off[..., 0], cy - off[..., 1],
+                           cx + off[..., 2], cy + off[..., 3]], axis=-1)
+        top_labels = jnp.take_along_axis(labels, top_idx, axis=1)
+        results.append({"scores": top_scores, "labels": top_labels,
+                        "boxes": boxes})
+    return results
+
+
 class DetectionModel:
-    """Inference wrapper: jitted dense forward + host decode.
+    """Inference wrapper: jitted dense forward + fused on-device top-k
+    candidate selection + host NMS over the small candidate set.
 
     Plays the role of the reference's DetectionModel
     (reference: models/detection.py:7-72) with the same factory surface.
@@ -221,7 +252,8 @@ class DetectionModel:
 
     def __init__(self, num_classes: int = 91,
                  model_name: str = "fcos_resnet18_fpn",
-                 score_threshold: float = 0.05, dtype=jnp.float32):
+                 score_threshold: float = 0.05, topk: int = 300,
+                 dtype=jnp.float32):
         if model_name not in _BACKBONES:
             raise ValueError(f"Unsupported detection model: {model_name}")
         self.module = FCOSDetector(num_classes=num_classes,
@@ -229,6 +261,7 @@ class DetectionModel:
         self.model_name = model_name
         self.num_classes = num_classes
         self.score_threshold = score_threshold
+        self.topk = topk
         self.variables = None
         self._forward = None
 
@@ -236,16 +269,29 @@ class DetectionModel:
         dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
         self.variables = self.module.init(key, dummy)
         self._forward = jax.jit(
-            lambda v, x: self.module.apply(v, x))
+            lambda v, x: _device_topk(self.module.apply(v, x), self.topk))
         return self.variables
 
     def __call__(self, images: jax.Array) -> List[Dict[str, np.ndarray]]:
         """images: (N, H, W, 3), ImageNet-normalised. Returns torchvision-style
         per-image dicts."""
-        outs = self._forward(self.variables, images)
+        levels = jax.device_get(self._forward(self.variables, images))
         h, w = images.shape[1:3]
-        return decode_detections(outs, self.score_threshold,
-                                 image_size=(h, w))
+        batch = images.shape[0]
+        results = []
+        for n in range(batch):
+            boxes = np.concatenate([lvl["boxes"][n] for lvl in levels])
+            scores = np.concatenate([lvl["scores"][n] for lvl in levels])
+            labels = np.concatenate([lvl["labels"][n] for lvl in levels])
+            keep = scores > self.score_threshold
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+            kept = nms(boxes, scores, labels)[:100]
+            results.append({"boxes": boxes[kept].astype(np.float32),
+                            "scores": scores[kept].astype(np.float32),
+                            "labels": labels[kept].astype(np.int64)})
+        return results
 
 
 class IntegratedDetectionSystem:
