@@ -71,6 +71,39 @@ def test_fog_density_map(rng):
     assert float(d.min()) >= 0.0
 
 
+def test_filters_match_reduce_window(rng):
+    """Integral-image box filter and separable min filter agree with direct
+    reduce_window formulations."""
+    import jax.lax as lax
+
+    from adam_dehaze_tpu.data.synthetic import _box_filter, _min_filter
+
+    x = jnp.asarray(rng.random((2, 21, 17), dtype=np.float32))
+
+    def direct_box(v, radius):
+        size = 2 * radius + 1
+        window = (1, size, size)
+        pad = ((0, 0), (radius, radius), (radius, radius))
+        s = lax.reduce_window(v, 0.0, lax.add, window, (1, 1, 1), pad)
+        n = lax.reduce_window(jnp.ones_like(v), 0.0, lax.add, window,
+                              (1, 1, 1), pad)
+        return s / n
+
+    def direct_min(v, size):
+        pad = size // 2
+        return -lax.reduce_window(
+            -v, -jnp.inf, lax.max, (1, size, size), (1, 1, 1),
+            ((0, 0), (pad, pad), (pad, pad)))
+
+    for r in (1, 3, 6):
+        np.testing.assert_allclose(np.asarray(_box_filter(x, r)),
+                                   np.asarray(direct_box(x, r)),
+                                   rtol=1e-5, atol=1e-6)
+    for s in (3, 7, 15):
+        np.testing.assert_allclose(np.asarray(_min_filter(x, s)),
+                                   np.asarray(direct_min(x, s)), atol=0)
+
+
 def test_progressive_levels():
     levels = progressive_fog_levels(5)
     assert len(levels) == 5
