@@ -1,4 +1,5 @@
 from .helpers import (  # noqa: F401
+    model_info,
     seed_everything,
     calculate_model_size,
     calculate_inference_time,

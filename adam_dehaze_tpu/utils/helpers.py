@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import random
 import time
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,23 @@ def seed_everything(seed: int) -> jax.Array:
 def count_params(params) -> int:
     """Total number of scalars in a parameter pytree."""
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def model_info(module, variables) -> Dict[str, Any]:
+    """Model introspection dict (reference: BaseDehazeModel.get_info,
+    models/dehazing/base_model.py:90-96): type, parameter counts, size."""
+    params = variables.get("params", variables)
+    n = count_params(params)
+    info = {
+        "model_type": type(module).__name__,
+        "params": n,
+        "trainable_params": n,  # all params train unless a mask says otherwise
+        "size_mb": calculate_model_size(params),
+    }
+    for attr in ("base_channels", "n_blocks", "model_name", "num_classes"):
+        if hasattr(module, attr):
+            info[attr] = getattr(module, attr)
+    return info
 
 
 def calculate_model_size(params) -> float:
