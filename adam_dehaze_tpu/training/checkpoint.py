@@ -195,6 +195,34 @@ def load_torch_vgg16(pth_path_or_sd, flax_params):
     return params
 
 
+_ALEXNET_TORCH_CONV_IDX = (0, 3, 6, 8, 10)
+
+
+def load_torch_alexnet(pth_path_or_sd, flax_params):
+    """Convert torchvision AlexNet `features` weights into our
+    AlexNetFeatures params (conv1..conv5) — the LPIPS trunk. The lpips
+    package's own checkpoints hold only the linear heads (see
+    load_torch_lpips); the trunk comes from a torchvision alexnet .pth."""
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    inner = params["params"] if "params" in params else params
+    # The trunk may be nested under an AlexNetFeatures submodule (LPIPS tree).
+    target = inner
+    for k in list(inner):
+        if k.startswith("AlexNetFeatures"):
+            target = inner[k]
+            break
+    for i, idx in enumerate(_ALEXNET_TORCH_CONV_IDX, start=1):
+        key = f"features.{idx}.weight"
+        if key not in sd:
+            key = f"{idx}.weight"
+        _set(target, (f"conv{i}", "kernel"), convert_torch_conv(sd[key]))
+        _set(target, (f"conv{i}", "bias"), sd[key.replace("weight", "bias")])
+    return params
+
+
 def load_torch_lpips(pth_path_or_sd, flax_params):
     """Convert `lpips` package linear-head weights (lin0..lin4) into our
     LPIPS params (losses/lpips.py). AlexNet trunk weights convert separately

@@ -95,6 +95,40 @@ def test_vgg16_conversion(key, rng):
     assert "relu4_3" in out
 
 
+def test_alexnet_trunk_conversion(key, rng):
+    from adam_dehaze_tpu.training.checkpoint import load_torch_alexnet
+
+    m = LPIPS()
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(key, x, x)
+    shapes = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+              (256, 256, 3)]
+    sd = {}
+    for idx, (o, i, k) in zip((0, 3, 6, 8, 10), shapes):
+        sd[f"features.{idx}.weight"] = rng.standard_normal(
+            (o, i, k, k)).astype(np.float32)
+        sd[f"features.{idx}.bias"] = rng.standard_normal(o).astype(np.float32)
+    params = load_torch_alexnet(sd, vars_)
+    trunk = [k for k in params["params"] if k.startswith("AlexNetFeatures")][0]
+    np.testing.assert_allclose(
+        params["params"][trunk]["conv1"]["kernel"],
+        np.transpose(sd["features.0.weight"], (2, 3, 1, 0)))
+    d = m.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(d), [0.0], atol=1e-6)
+
+
+def test_model_info(key):
+    from adam_dehaze_tpu.models.branches import LightweightDehazeModel
+    from adam_dehaze_tpu.utils import model_info
+
+    m = LightweightDehazeModel(base_channels=4, n_blocks=1)
+    v = m.init(key, jnp.zeros((1, 8, 8, 3)))
+    info = model_info(m, v)
+    assert info["model_type"] == "LightweightDehazeModel"
+    assert info["params"] == info["trainable_params"] > 0
+    assert info["base_channels"] == 4
+
+
 def test_lpips_head_conversion(key, rng):
     m = LPIPS()
     x = jnp.zeros((1, 32, 32, 3))
