@@ -129,6 +129,16 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned us."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
@@ -136,8 +146,9 @@ class DataLoader:
                         return
                     idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                     items = list(pool.map(self.dataset.load, idxs))
-                    q.put(self._collate(items))
-            q.put(None)
+                    if not put(self._collate(items)):
+                        return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
