@@ -181,19 +181,25 @@ def evaluate_classifier_pass(eval_step, state, loader) -> Dict[str, float]:
 
 def evaluate_classifier(model, state, config) -> Dict:
     """Test-split evaluation with confusion matrix + report
-    (reference: train_classifier.py:183-226)."""
+    (reference: train_classifier.py:183-226). Single pass: metrics and
+    per-sample predictions accumulate together."""
     loader = get_dataloader(config, "test")
     eval_step = make_eval_step(model)
     preds, labels = [], []
-    tot = evaluate_classifier_pass(eval_step, state, loader)
+    tot_loss, tot_acc, tot_n = 0.0, 0.0, 0
     for batch in loader:
         m = eval_step(state, device_batch(batch))
+        n = int(m["n"])
+        tot_loss += float(m["loss"]) * n
+        tot_acc += float(m["acc"]) * n
+        tot_n += n
         mask = batch["mask"]
         preds.append(np.asarray(m["pred"])[mask])
         labels.append(batch["intensity"][mask])
     preds = np.concatenate(preds) if preds else np.zeros(0, np.int64)
     labels = np.concatenate(labels) if labels else np.zeros(0, np.int64)
-    result = {"accuracy": tot["acc"], "loss": tot["loss"]}
+    result = {"accuracy": tot_acc / max(tot_n, 1),
+              "loss": tot_loss / max(tot_n, 1)}
     try:
         from sklearn.metrics import classification_report, confusion_matrix
         result["confusion_matrix"] = confusion_matrix(
