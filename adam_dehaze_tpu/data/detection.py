@@ -84,14 +84,16 @@ class DetectionDataset:
         }
 
 
-def get_detection_dataloader(config, split: str = "test") -> DataLoader:
-    """(reference: data/dataset.py:251-267)"""
+def get_detection_dataloader(config, split: str = "test",
+                             img_size: int = 512) -> DataLoader:
+    """(reference: data/dataset.py:251-267; 512 is its fixed detection
+    resolution, overridable here)"""
     root = config["dataset"]["test_path"]
     ds = DetectionDataset(
         root_dir=root,
         annotation_dir=os.path.join(root, "annotations"),
         split=split,
-        img_size=512,
+        img_size=img_size,
     )
     return DataLoader(
         ds, batch_size=max(config["dataset"]["batch_size"] // 2, 1),

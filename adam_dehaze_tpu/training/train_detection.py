@@ -154,12 +154,13 @@ def make_detection_train_step(module: FCOSDetector, tx):
     return step
 
 
-def train_detection(config, epochs: int = None, resume: bool = False):
+def train_detection(config, epochs: int = None, resume: bool = False,
+                    img_size: int = 512):
     """Fine-tune the detector on the detection dataset; returns
     (DetectionModel, TrainState)."""
     det = create_detection_model(config)
     key = jax.random.PRNGKey(config["seed"] + 7)
-    variables = det.init(key, image_size=512)
+    variables = det.init(key, image_size=img_size)
     tx = make_optimizer(config["detection"]["learning_rate"],
                         config["detection"].get("weight_decay", 0.0))
     state = TrainState(step=jnp.zeros((), jnp.int32),
@@ -167,7 +168,7 @@ def train_detection(config, epochs: int = None, resume: bool = False):
                        batch_stats=variables["batch_stats"],
                        opt_state=tx.init(variables["params"]))
 
-    loader = get_detection_dataloader(config, split="test")
+    loader = get_detection_dataloader(config, split="test", img_size=img_size)
     step = make_detection_train_step(det.module, tx)
     logger = MetricsLogger(os.path.join(config.get("_logs_dir", "logs"),
                                         "detection"))
