@@ -117,6 +117,35 @@ def test_alexnet_trunk_conversion(key, rng):
     np.testing.assert_allclose(np.asarray(d), [0.0], atol=1e-6)
 
 
+def test_converter_cli_roundtrip(key, rng, tmp_path):
+    """The migration CLI converts a (synthetic) reference .pth into an orbax
+    checkpoint that restores and runs."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_reference_checkpoint import main as convert_main
+
+    from adam_dehaze_tpu.training import checkpoint as ckpt
+
+    sd = {k: torch.from_numpy(v) for k, v in _fake_resnet18_sd(rng).items()}
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"model_state_dict": sd}, pth)
+    out = str(tmp_path / "converted")
+    convert_main(["--kind", "resnet18", "--pth", pth, "--out", out,
+                  "--image_size", "32"])
+
+    model = resnet18()
+    template = model.init(key, jnp.zeros((1, 32, 32, 3)))
+    tree, _ = ckpt.load_checkpoint(out, {"params": template["params"],
+                                         "batch_stats": template["batch_stats"]})
+    y = model.apply(tree, jnp.zeros((1, 32, 32, 3)))
+    assert y.shape == (1, 512)
+    np.testing.assert_allclose(
+        np.asarray(tree["params"]["Conv_0"]["kernel"]),
+        np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)))
+
+
 def test_model_info(key):
     from adam_dehaze_tpu.models.branches import LightweightDehazeModel
     from adam_dehaze_tpu.utils import model_info
