@@ -22,6 +22,7 @@ from adam_dehaze_tpu.nn.blocks import (
     ResidualBlock,
     UpBlock,
     resize_bilinear,
+    resize_bilinear_align_corners,
 )
 from adam_dehaze_tpu.parallel.sharding import shard_channels
 
@@ -150,13 +151,15 @@ class COrunInspiredModel(nn.Module):
         c = self.base_channels
         init = ConvBlock(c, 7, dtype=dt)(x.astype(dt), train)
 
+        # Upsampling uses align_corners=True to match the reference's
+        # nn.UpsamplingBilinear2d (medium_intensity.py:146,151).
         s1 = ConvBlock(c, 3, dtype=dt)(init, train)
         s2 = nn.max_pool(init, (2, 2), strides=(2, 2))
         s2 = ConvBlock(c * 2, 3, dtype=dt)(s2, train)
-        s2 = resize_bilinear(s2, init.shape[1:3])
+        s2 = resize_bilinear_align_corners(s2, init.shape[1:3])
         s3 = nn.max_pool(init, (4, 4), strides=(4, 4))
         s3 = ConvBlock(c * 4, 3, dtype=dt)(s3, train)
-        s3 = resize_bilinear(s3, init.shape[1:3])
+        s3 = resize_bilinear_align_corners(s3, init.shape[1:3])
 
         fused = jnp.concatenate([s1, s2, s3], axis=-1)
         fused = ConvBlock(c * 2, 1, padding=0, dtype=dt)(fused, train)
@@ -258,9 +261,11 @@ class DualBranchAttentionModel(nn.Module):
         g = ResidualBlock(c, dtype=dt)(g, train)
         g = AttentionBlock(c, use_pallas=pl, dtype=dt)(g, train)
         g = ResidualBlock(c, dtype=dt)(g, train)
-        g = resize_bilinear(g, (xin.shape[1] // 2, xin.shape[2] // 2))
+        # align_corners=True upsampling matches the reference's
+        # nn.UpsamplingBilinear2d (high_intensity.py:169,171).
+        g = resize_bilinear_align_corners(g, (xin.shape[1] // 2, xin.shape[2] // 2))
         g = ResidualBlock(c, dtype=dt)(g, train)
-        g = resize_bilinear(g, xin.shape[1:3])
+        g = resize_bilinear_align_corners(g, xin.shape[1:3])
         g = ConvBlock(c // 2, 3, dtype=dt)(g, train)
 
         l = ConvBlock(c // 2, 3, dtype=dt)(xin, train)

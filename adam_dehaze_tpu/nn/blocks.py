@@ -143,3 +143,29 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear resize to (H, W), half-pixel centers (align_corners=False)."""
     n, _, _, c = x.shape
     return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear")
+
+
+def resize_bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize with align_corners=True grid mapping
+    (out_i -> i * (in-1)/(out-1)) — torch nn.UpsamplingBilinear2d semantics
+    (reference: medium_intensity.py:146,151, high_intensity.py:169,171).
+    Static gathers + two lerps; jax.image.resize has no align-corners mode."""
+    h, w = x.shape[1:3]
+    oh, ow = size
+
+    def axis(in_len: int, out_len: int):
+        if out_len == 1:
+            pos = jnp.zeros((1,), jnp.float32)
+        else:
+            pos = jnp.arange(out_len, dtype=jnp.float32) * (
+                (in_len - 1) / (out_len - 1))
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_len - 1)
+        return lo, hi, (pos - lo).astype(x.dtype)
+
+    ylo, yhi, yf = axis(h, oh)
+    xlo, xhi, xf = axis(w, ow)
+    rows = (x[:, ylo] * (1.0 - yf)[None, :, None, None]
+            + x[:, yhi] * yf[None, :, None, None])
+    return (rows[:, :, xlo] * (1.0 - xf)[None, None, :, None]
+            + rows[:, :, xhi] * xf[None, None, :, None])

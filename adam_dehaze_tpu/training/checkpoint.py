@@ -89,7 +89,9 @@ def _torch_state_dict(pth_path: str):
     ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
         ckpt = ckpt["model_state_dict"]
-    return {k: v.numpy() for k, v in ckpt.items()}
+    # .numpy() views share the tensor's memory; copy so later in-place torch
+    # mutations (e.g. BN running-stat updates) can't alias into our trees.
+    return {k: v.numpy().copy() for k, v in ckpt.items()}
 
 
 def convert_torch_conv(w: np.ndarray) -> np.ndarray:
@@ -100,6 +102,18 @@ def convert_torch_conv(w: np.ndarray) -> np.ndarray:
 def convert_torch_linear(w: np.ndarray) -> np.ndarray:
     """torch (out, in) -> flax (in, out)."""
     return np.transpose(w)
+
+
+def convert_torch_convtranspose(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kH, kW) -> flax ConvTranspose
+    (kH, kW, in, out) with both spatial dims flipped.
+
+    torch's ConvTranspose2d is the gradient of a conv (cross-correlation with
+    the spatially flipped kernel); flax's lax.conv_transpose default
+    (transpose_kernel=False) cross-correlates without flipping, so the flip
+    moves into the weights. Verified numerically against torch
+    (k4 s2 p1 <-> flax padding ((2,2),(2,2)))."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def _set(tree, path, value, expect_shape=True):
@@ -221,6 +235,288 @@ def load_torch_alexnet(pth_path_or_sd, flax_params):
         _set(target, (f"conv{i}", "kernel"), convert_torch_conv(sd[key]))
         _set(target, (f"conv{i}", "bias"), sd[key.replace("weight", "bias")])
     return params
+
+
+# ---------------------------------------------------------------------------
+# Branch / classifier / joint converters (the reference's actual trained
+# artifacts: classifier, three branch models, joint 5-state checkpoint —
+# reference train_joint.py:272-283, utils/helpers.py:31-44).
+# ---------------------------------------------------------------------------
+
+def _block_assigns(sd, kind, tp, fp, out_p, out_s):
+    """Emit (flax_path, value) assignments for one reference block.
+
+    kinds (reference models/dehazing/base_model.py):
+      CB   — ConvBlock `{tp}.block.0` conv (+ optional bias), `.block.1` BN
+      RES  — ResidualBlock `{tp}.conv1` / `{tp}.conv2` ConvBlocks
+      ATT  — AttentionBlock `{tp}.fc.{0,2}` 1x1 convs, `{tp}.conv_spatial`
+      UP   — ConvTranspose `{tp}.0` + BatchNorm `{tp}.1` (an UpBlock here)
+      CONV — bare nn.Conv2d `{tp}.weight/.bias`
+    """
+    if kind == "CB":
+        out_p.append((fp + ("Conv_0", "kernel"),
+                      convert_torch_conv(sd[f"{tp}.block.0.weight"])))
+        if f"{tp}.block.0.bias" in sd:
+            out_p.append((fp + ("Conv_0", "bias"), sd[f"{tp}.block.0.bias"]))
+        if f"{tp}.block.1.weight" in sd:
+            _bn_entries(sd, f"{tp}.block.1", fp + ("BatchNorm_0",),
+                        fp + ("BatchNorm_0",), out_p, out_s)
+    elif kind == "RES":
+        _block_assigns(sd, "CB", f"{tp}.conv1", fp + ("ConvBlock_0",), out_p, out_s)
+        _block_assigns(sd, "CB", f"{tp}.conv2", fp + ("ConvBlock_1",), out_p, out_s)
+    elif kind == "ATT":
+        w0 = np.asarray(sd[f"{tp}.fc.0.weight"])  # (hidden, C, 1, 1)
+        w1 = np.asarray(sd[f"{tp}.fc.2.weight"])  # (C, hidden, 1, 1)
+        out_p.append((fp + ("Dense_0", "kernel"), np.transpose(w0[:, :, 0, 0])))
+        out_p.append((fp + ("Dense_1", "kernel"), np.transpose(w1[:, :, 0, 0])))
+        out_p.append((fp + ("spatial_conv",),
+                      convert_torch_conv(sd[f"{tp}.conv_spatial.weight"])))
+    elif kind == "UP":
+        out_p.append((fp + ("ConvTranspose_0", "kernel"),
+                      convert_torch_convtranspose(sd[f"{tp}.0.weight"])))
+        out_p.append((fp + ("ConvTranspose_0", "bias"), sd[f"{tp}.0.bias"]))
+        _bn_entries(sd, f"{tp}.1", fp + ("BatchNorm_0",), fp + ("BatchNorm_0",),
+                    out_p, out_s)
+    elif kind == "CONV":
+        out_p.append((fp + ("kernel",), convert_torch_conv(sd[f"{tp}.weight"])))
+        if f"{tp}.bias" in sd:
+            out_p.append((fp + ("bias",), sd[f"{tp}.bias"]))
+    else:  # pragma: no cover
+        raise ValueError(f"Unknown block kind {kind}")
+
+
+def _branch_layout(kind: str, sd) -> list:
+    """Ordered (block_kind, torch_prefix, flax_path) table per branch variant.
+
+    Mappings follow the reference module registration order against our flax
+    call-order auto-names (reference: models/dehazing/low_intensity.py:5-140,
+    medium_intensity.py:5-215, high_intensity.py:6-239)."""
+    if kind == "lightweight":
+        n_res = len({k.split(".")[1] for k in sd if k.startswith("residual_blocks.")})
+        t = [("CB", "init_conv", ("ConvBlock_0",))]
+        t += [("RES", f"residual_blocks.{i}", (f"ResidualBlock_{i}",))
+              for i in range(n_res)]
+        t += [("CB", "output_conv.0", ("ConvBlock_1",)),
+              ("CONV", "output_conv.1", ("Conv_0",))]
+        return t
+    if kind == "low_unet":
+        n_bott = len({k.split(".")[1] for k in sd if k.startswith("bottleneck.")})
+        t = [("CB", "init_conv", ("ConvBlock_0",)),
+             ("CB", "down1.0", ("ConvBlock_1",)),
+             ("RES", "down1.1", ("ResidualBlock_0",))]
+        t += [("RES", f"bottleneck.{i}", (f"ResidualBlock_{i + 1}",))
+              for i in range(n_bott)]
+        t += [("UP", "up1", ("UpBlock_0",)),
+              ("CB", "output_conv.0", ("ConvBlock_2",)),
+              ("CB", "output_conv.1", ("ConvBlock_3",)),
+              ("CONV", "output_conv.2", ("Conv_0",))]
+        return t
+    if kind == "medium":
+        return [
+            ("CB", "init_conv", ("ConvBlock_0",)),
+            ("CB", "encoder.0.0", ("ConvBlock_1",)),
+            ("RES", "encoder.0.1", ("ResidualBlock_0",)),
+            ("RES", "encoder.0.2", ("ResidualBlock_1",)),
+            ("CB", "encoder.1.0", ("ConvBlock_2",)),
+            ("RES", "encoder.1.1", ("ResidualBlock_2",)),
+            ("RES", "encoder.1.2", ("ResidualBlock_3",)),
+            ("RES", "bottleneck.0", ("ResidualBlock_4",)),
+            ("RES", "bottleneck.1", ("ResidualBlock_5",)),
+            ("UP", "decoder.0", ("UpBlock_0",)),
+            ("RES", "decoder.0.3", ("ResidualBlock_6",)),
+            ("UP", "decoder.1", ("UpBlock_1",)),
+            ("RES", "decoder.1.3", ("ResidualBlock_7",)),
+            ("CB", "output_conv.0", ("ConvBlock_3",)),
+            ("CB", "output_conv.1", ("ConvBlock_4",)),
+            ("CONV", "output_conv.2", ("Conv_0",)),
+        ]
+    if kind == "corun":
+        n_res = len({k.split(".")[1] for k in sd if k.startswith("residual_blocks.")})
+        t = [("CB", "init_conv", ("ConvBlock_0",)),
+             ("CB", "scale1_conv", ("ConvBlock_1",)),
+             ("CB", "scale2_conv.1", ("ConvBlock_2",)),
+             ("CB", "scale3_conv.1", ("ConvBlock_3",)),
+             ("CB", "fusion_conv", ("ConvBlock_4",))]
+        t += [("RES", f"residual_blocks.{i}", (f"ResidualBlock_{i}",))
+              for i in range(n_res)]
+        t += [("CB", "output_conv.0", ("ConvBlock_5",)),
+              ("CONV", "output_conv.1", ("Conv_0",))]
+        return t
+    if kind == "high":
+        return [
+            ("CB", "detail_branch.0", ("ConvBlock_0",)),
+            ("CB", "detail_branch.1", ("ConvBlock_1",)),
+            ("CONV", "detail_branch.2", ("Conv_0",)),
+            ("CB", "init_conv", ("ConvBlock_2",)),
+            ("CB", "encoder.0.0", ("ConvBlock_3",)),
+            ("RES", "encoder.0.1", ("ResidualBlock_0",)),
+            ("RES", "encoder.0.2", ("ResidualBlock_1",)),
+            ("ATT", "encoder.0.3", ("AttentionBlock_0",)),
+            ("CB", "encoder.1.0", ("ConvBlock_4",)),
+            ("RES", "encoder.1.1", ("ResidualBlock_2",)),
+            ("RES", "encoder.1.2", ("ResidualBlock_3",)),
+            ("ATT", "encoder.1.3", ("AttentionBlock_1",)),
+            ("RES", "bottleneck.0", ("ResidualBlock_4",)),
+            ("ATT", "bottleneck.1", ("AttentionBlock_2",)),
+            ("RES", "bottleneck.2", ("ResidualBlock_5",)),
+            ("ATT", "bottleneck.3", ("AttentionBlock_3",)),
+            ("UP", "decoder.0", ("UpBlock_0",)),
+            ("RES", "decoder.0.3", ("ResidualBlock_6",)),
+            ("ATT", "decoder.0.4", ("AttentionBlock_4",)),
+            ("UP", "decoder.1", ("UpBlock_1",)),
+            ("RES", "decoder.1.3", ("ResidualBlock_7",)),
+            ("ATT", "decoder.1.4", ("AttentionBlock_5",)),
+            ("CB", "output_conv.0", ("ConvBlock_5",)),
+            ("CB", "output_conv.1", ("ConvBlock_6",)),
+            ("CONV", "output_conv.2", ("Conv_1",)),
+        ]
+    if kind == "dual_branch":
+        return [
+            ("CB", "global_branch.0", ("ConvBlock_0",)),
+            ("RES", "global_branch.2", ("ResidualBlock_0",)),
+            ("ATT", "global_branch.3", ("AttentionBlock_0",)),
+            ("RES", "global_branch.5", ("ResidualBlock_1",)),
+            ("ATT", "global_branch.6", ("AttentionBlock_1",)),
+            ("RES", "global_branch.7", ("ResidualBlock_2",)),
+            ("RES", "global_branch.9", ("ResidualBlock_3",)),
+            ("CB", "global_branch.11", ("ConvBlock_1",)),
+            ("CB", "local_branch.0", ("ConvBlock_2",)),
+            ("RES", "local_branch.1", ("ResidualBlock_4",)),
+            ("RES", "local_branch.2", ("ResidualBlock_5",)),
+            ("CB", "local_branch.3", ("ConvBlock_3",)),
+            ("CB", "transmission_branch.0", ("ConvBlock_4",)),
+            ("CB", "transmission_branch.1", ("ConvBlock_5",)),
+            ("CONV", "transmission_branch.2", ("Conv_0",)),
+            ("CB", "fusion_conv.0", ("ConvBlock_6",)),
+            ("CONV", "fusion_conv.1", ("Conv_1",)),
+        ]
+    raise ValueError(f"Unknown branch kind {kind}")
+
+
+BRANCH_KINDS = ("lightweight", "low_unet", "medium", "corun", "high",
+                "dual_branch")
+
+
+def branch_kind_for(level: str, model_type: str) -> str:
+    """Map a config (level, model_type) to a converter kind, mirroring the
+    reference factories (low_intensity.py:127-140, medium_intensity.py:201-215,
+    high_intensity.py:225-239)."""
+    if level == "low":
+        return "lightweight" if model_type == "lightweight" else "low_unet"
+    if level == "medium":
+        return "corun" if model_type == "corun" else "medium"
+    return "dual_branch" if model_type == "dual_branch" else "high"
+
+
+def load_torch_branch(pth_path_or_sd, kind: str, flax_params, flax_batch_stats):
+    """Convert a reference branch-model state_dict into our flax trees.
+
+    kind: one of BRANCH_KINDS. Returns (params, batch_stats) copies."""
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+    assigns_p, assigns_s = [], []
+    for bkind, tp, fp in _branch_layout(kind, sd):
+        _block_assigns(sd, bkind, tp, fp, assigns_p, assigns_s)
+    if "skip_alpha" in sd:  # lightweight's learnable global skip
+        assigns_p.append((("skip_alpha",), np.asarray(sd["skip_alpha"])))
+    for path, value in assigns_p:
+        _set(params, path, value)
+    for path, value in assigns_s:
+        _set(stats, path, value)
+    return params, stats
+
+
+def load_torch_classifier(pth_path_or_sd, flax_params, flax_batch_stats,
+                          model_name: str = "resnet18"):
+    """Convert a reference FogIntensityClassifier state_dict (backbone.* +
+    classifier.* head, reference models/classifier.py:22-78) into our
+    FogIntensityClassifier trees. Returns (params, batch_stats)."""
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if not model_name.startswith("resnet"):
+        raise NotImplementedError(
+            f"classifier conversion implemented for resnet backbones, "
+            f"got {model_name}")
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    stage_sizes = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                   "resnet50": (3, 4, 6, 3)}[model_name]
+    bb_name = next(k for k in flax_params if k.startswith("ResNet"))
+    bb_params, bb_stats = load_torch_resnet(
+        backbone_sd, flax_params[bb_name], flax_batch_stats[bb_name],
+        stage_sizes=stage_sizes, bottleneck=(model_name == "resnet50"))
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+    params[bb_name] = bb_params
+    stats[bb_name] = bb_stats
+    # Head: torch Sequential(Dropout, Linear, ReLU, Dropout, Linear) ->
+    # flax Dense_0 / Dense_1 (reference classifier.py:72-78).
+    _set(params, ("Dense_0", "kernel"), convert_torch_linear(sd["classifier.1.weight"]))
+    _set(params, ("Dense_0", "bias"), sd["classifier.1.bias"])
+    _set(params, ("Dense_1", "kernel"), convert_torch_linear(sd["classifier.4.weight"]))
+    _set(params, ("Dense_1", "bias"), sd["classifier.4.bias"])
+    return params, stats
+
+
+def load_torch_gate(pth_path_or_sd, flax_params):
+    """Convert the reference GatedRouter gate MLP (gate_network.{0,3,5},
+    reference routing.py:155-163) into our GatedRouter Dense_0/1/2 params.
+    Returns a params copy (router-level; classifier/branch subtrees are
+    converted by their own loaders)."""
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    for ti, fi in ((0, 0), (3, 1), (5, 2)):
+        _set(params, (f"Dense_{fi}", "kernel"),
+             convert_torch_linear(sd[f"gate_network.{ti}.weight"]))
+        _set(params, (f"Dense_{fi}", "bias"), sd[f"gate_network.{ti}.bias"])
+    return params
+
+
+def load_torch_joint(pth_path_or_ckpt, router_variables, config):
+    """Convert the reference joint 5-state checkpoint
+    ({router,low,medium,high,classifier}_state_dict, reference
+    train_joint.py:272-283) into variables for our create_router module tree
+    (top-level keys: classifier, models_low/medium/high [, Dense_0..2]).
+
+    Returns {params, batch_stats}. The torch optimizer state is not
+    convertible (Adam moments are torch-layout) and is ignored."""
+    import copy
+    if isinstance(pth_path_or_ckpt, str):
+        import torch
+        ckpt = torch.load(pth_path_or_ckpt, map_location="cpu",
+                          weights_only=False)
+        ckpt = {k: ({kk: vv.numpy() for kk, vv in v.items()}
+                    if k.endswith("_state_dict") and k != "optimizer_state_dict"
+                    else v)
+                for k, v in ckpt.items()}
+    else:
+        ckpt = pth_path_or_ckpt
+    params = copy.deepcopy(jax.tree_util.tree_map(
+        np.asarray, router_variables["params"]))
+    stats = copy.deepcopy(jax.tree_util.tree_map(
+        np.asarray, router_variables["batch_stats"]))
+
+    model_name = config["classifier"]["model"]
+    params["classifier"], stats["classifier"] = load_torch_classifier(
+        ckpt["classifier_state_dict"], params["classifier"],
+        stats["classifier"], model_name)
+    for level in ("low", "medium", "high"):
+        kind = branch_kind_for(level, config["dehazing"][level]["model_type"])
+        key = f"models_{level}"
+        params[key], stats[key] = load_torch_branch(
+            ckpt[f"{level}_model_state_dict"], kind, params[key], stats[key])
+    if config["routing"]["type"] == "gated":
+        params = load_torch_gate(ckpt["router_state_dict"], params)
+    return {"params": params, "batch_stats": stats}
 
 
 def load_torch_lpips(pth_path_or_sd, flax_params):
