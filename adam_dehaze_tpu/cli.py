@@ -30,7 +30,7 @@ from adam_dehaze_tpu.config import (
 from adam_dehaze_tpu.utils.helpers import seed_everything
 
 MODES = ("preprocess", "train_classifier", "train_dehazing", "train_joint",
-         "train_all", "evaluate", "demo", "bench")
+         "train_all", "train_detection", "evaluate", "demo", "bench")
 
 
 def parse_args(argv=None):
@@ -55,6 +55,14 @@ def main(argv=None):
     args = parse_args(argv)
     config = load_config(args.config)
     config = apply_cli_overrides(config, args)
+
+    # Honor `device: cpu` (config or --device) for the JAX platform. The
+    # axon sitecustomize pins the TPU backend regardless of env vars, so this
+    # must go through jax.config before the first backend use
+    # (reference --device surface: main.py:46-47, config.yaml:85).
+    if str(config.get("device", "")).lower().startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.experiment_dir:
         config = update_checkpoint_paths(config, args.experiment_dir)
@@ -123,6 +131,16 @@ def main(argv=None):
         router, joint_state = train_joint_model(config, resume=args.resume)
         print("\n===== Step 4: Comprehensive Evaluation =====")
         run_comprehensive_evaluation(config, router, joint_state)
+
+    elif args.mode == "train_detection":
+        # Extension beyond the reference surface: fine-tune the TPU-native
+        # FCOS detector on the labeled fog corpus so detection eval compares
+        # trained weights (the reference downloads COCO-pretrained
+        # torchvision weights instead, detection.py:23-51).
+        from adam_dehaze_tpu.training.train_detection import train_detection
+        train_detection(config, epochs=config["detection"].get("epochs", 1),
+                        resume=args.resume,
+                        img_size=config["dataset"]["img_size"])
 
     elif args.mode == "evaluate":
         from adam_dehaze_tpu.evaluation.evaluate import run_comprehensive_evaluation

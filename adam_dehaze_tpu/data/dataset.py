@@ -168,6 +168,14 @@ def get_dataloader(config, split: str = "train", seed: Optional[int] = None) -> 
     ds = HazyImageDataset(
         root_dir=config["dataset"][key], split=split,
         img_size=config["dataset"]["img_size"])
+    if len(ds.samples) == 0:
+        # Fail loudly: training on an empty stream yields NaN epochs and a
+        # scheduler crash several minutes in, which is miserable to debug.
+        raise ValueError(
+            f"No samples for split '{split}' under "
+            f"{os.path.join(config['dataset'][key], split)} — expected "
+            "{root}/{split}/{low,medium,high}/{hazy,clear,dehazed}/*.png|jpg "
+            "with matching names in all three subdirs")
     return DataLoader(
         ds, batch_size=config["dataset"]["batch_size"], shuffle=(split == "train"),
         num_workers=config["dataset"]["num_workers"],

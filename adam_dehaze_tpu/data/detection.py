@@ -57,6 +57,10 @@ class DetectionDataset:
 
     def load(self, idx: int) -> Dict:
         s = self.samples[idx]
+        import cv2
+        raw = cv2.imread(s["hazy"])
+        oh, ow = raw.shape[:2]
+        sx, sy = self.img_size / ow, self.img_size / oh
         img = _imread_rgb(s["hazy"], self.img_size)
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
         with open(s["annotation"]) as f:
@@ -64,7 +68,10 @@ class DetectionDataset:
         boxes, labels = [], []
         for obj in ann.get("annotations", []):
             x, y, w, h = obj["bbox"]
-            boxes.append([x, y, x + w, y + h])
+            # bbox is in original-image pixels; rescale to the square
+            # detection resolution (reference resizes to 512 the same way,
+            # data/dataset.py:131-160).
+            boxes.append([x * sx, y * sy, (x + w) * sx, (y + h) * sy])
             labels.append(obj["category_id"])
         boxes_arr = np.zeros((self.max_boxes, 4), np.float32)
         labels_arr = np.zeros((self.max_boxes,), np.int32)

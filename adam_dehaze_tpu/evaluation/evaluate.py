@@ -65,8 +65,10 @@ def evaluate_baseline_models(config, router=None, state=None) -> Dict[str, Dict[
     label (reference: evaluate.py:32-92)."""
     if router is None:
         router, state = _load_joint(config)
-    iq = ImageQualityMetrics(image_shape=(1, config["dataset"]["img_size"],
-                                          config["dataset"]["img_size"], 3))
+    iq = ImageQualityMetrics(
+        image_shape=(1, config["dataset"]["img_size"],
+                     config["dataset"]["img_size"], 3),
+        lpips_weights=config.get("loss", {}).get("lpips_weights") or None)
     branch_fns = {lvl: _apply_branch(router, state, lvl)
                   for lvl in ("low", "medium", "high")}
     loader = get_dataloader(config, "test")
@@ -95,8 +97,10 @@ def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str,
     (reference: evaluate.py:94-177)."""
     if router is None:
         router, state = _load_joint(config)
-    iq = ImageQualityMetrics(image_shape=(1, config["dataset"]["img_size"],
-                                          config["dataset"]["img_size"], 3))
+    iq = ImageQualityMetrics(
+        image_shape=(1, config["dataset"]["img_size"],
+                     config["dataset"]["img_size"], 3),
+        lpips_weights=config.get("loss", {}).get("lpips_weights") or None)
     apply_fn = jax.jit(lambda v, x: router.apply(v, x, train=False))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -148,31 +152,85 @@ def _dummy_annotations(loader, path: str) -> str:
     return path
 
 
+def _merge_annotations(ann_cfg: Dict[str, str]):
+    """Merge the per-intensity COCO GT files into one GT dict with globally
+    unique image/annotation ids, plus a (level, file_name) -> image_id map so
+    detections align with GT by NAME, not by iteration order (fixes the
+    reference's sequential-image_id assumption and the r1 single-path pick,
+    reference config.yaml:76-80 keeps per-intensity annotation paths)."""
+    merged = {"images": [], "annotations": [], "categories": None}
+    name_to_id: Dict[tuple, int] = {}
+    next_img, next_ann = 1, 1
+    for level in ("low", "medium", "high"):
+        path = (ann_cfg or {}).get(level)
+        if not path or not os.path.exists(path):
+            continue
+        with open(path) as f:
+            gt = json.load(f)
+        if merged["categories"] is None:
+            merged["categories"] = gt.get("categories", [])
+        remap = {}
+        for im in gt.get("images", []):
+            remap[im["id"]] = next_img
+            name_to_id[(level, im["file_name"])] = next_img
+            merged["images"].append({**im, "id": next_img})
+            next_img += 1
+        for ann in gt.get("annotations", []):
+            merged["annotations"].append(
+                {**ann, "id": next_ann, "image_id": remap[ann["image_id"]]})
+            next_ann += 1
+    if not merged["images"]:
+        return None, {}
+    return merged, name_to_id
+
+
+_LEVELS = {0: "low", 1: "medium", 2: "high"}
+
+
 def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]:
     """Detection mAP on hazy vs dehazed images
-    (reference: evaluate.py:179-383, dehazed path fixed)."""
+    (reference: evaluate.py:179-383, dehazed path fixed).
+
+    Uses the TRAINED detector checkpoint when present
+    (detection.checkpoint_dir/best_model, written by train_detection) and the
+    per-intensity GT annotation files, aligned by file name."""
     if router is None:
         router, state = _load_joint(config)
     det_model = create_detection_model(config)
     det_model.init(jax.random.PRNGKey(1),
                    image_size=config["dataset"]["img_size"])
+    det_best = ckpt.best_model_path(config["detection"]["checkpoint_dir"])
+    if os.path.isdir(det_best):
+        tree, _ = ckpt.load_checkpoint(
+            det_best, {"params": det_model.variables["params"],
+                       "batch_stats": det_model.variables["batch_stats"]})
+        det_model.variables = tree
+        print(f"Loaded trained detector from {det_best}")
+    else:
+        print("WARNING: no trained detector checkpoint — mAP numbers will be "
+              "noise (random detector weights)")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     dehaze_fn = jax.jit(lambda x: router.apply(variables, x, train=False))
     integrated = create_integrated_system(dehaze_fn, det_model)
 
     loader = get_dataloader(config, "test")
-    ann_path = (config["evaluation"]["annotation_paths"] or {}).get("low") or ""
-    if not ann_path or not os.path.exists(ann_path):
+    merged_gt, name_to_id = _merge_annotations(
+        config["evaluation"].get("annotation_paths"))
+    if merged_gt is None:
         ann_path = _dummy_annotations(
             loader, os.path.join(config["evaluation"]["results_dir"],
                                  "dummy_annotations.json"))
         print("Using dummy annotations (no GT boxes supplied)")
+        merged_gt = ann_path
+        sequential_ids = True
+    else:
+        sequential_ids = False
 
-    hazy_metrics = DetectionMetrics(ann_path)
-    dehazed_metrics = DetectionMetrics(ann_path)
+    hazy_metrics = DetectionMetrics(merged_gt)
+    dehazed_metrics = DetectionMetrics(merged_gt)
 
-    image_id = 0
+    fallback_id = 0
     for batch in loader:
         hazy = jnp.asarray(batch["hazy"])
         normalized = (hazy - IMAGENET_MEAN) / IMAGENET_STD
@@ -181,7 +239,15 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
         for i in range(hazy.shape[0]):
             if not batch["mask"][i]:
                 continue
+            level = _LEVELS.get(int(batch["intensity"][i]))
             category = _CATEGORY_NAMES.get(int(batch["intensity"][i]))
+            if sequential_ids:
+                image_id = fallback_id
+                fallback_id += 1
+            else:
+                image_id = name_to_id.get((level, batch["name"][i]))
+                if image_id is None:  # image not in GT: skip, don't misalign
+                    continue
             for dets, metrics in ((hazy_dets[i], hazy_metrics),
                                   (dehazed_dets[i], dehazed_metrics)):
                 for box, score, label in zip(dets["boxes"], dets["scores"],
@@ -190,7 +256,6 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
                     metrics.add_detection_result(
                         image_id, int(label), [x1, y1, x2 - x1, y2 - y1],
                         float(score), category=category)
-            image_id += 1
 
     # Per-intensity breakdown mirrors the reference's category re-evaluation
     # (reference: metrics.py:210-241).

@@ -32,14 +32,28 @@ def calculate_image_metrics(pred: np.ndarray, target: np.ndarray) -> Dict[str, f
 
 
 class ImageQualityMetrics:
-    """Accumulate PSNR/SSIM/LPIPS by category, batched on device."""
+    """Accumulate PSNR/SSIM/LPIPS by category, batched on device.
 
-    def __init__(self, lpips_params=None, image_shape=(1, 64, 64, 3)):
+    LPIPS honesty: without converted weights (lpips_params/lpips_weights)
+    the perceptual distance runs on a random-init AlexNet trunk with uniform
+    heads — a monotone surrogate, NOT the published LPIPS scale — so it is
+    reported as `lpips_uncal`. Only calibrated weights earn the `lpips` key
+    (the reference always uses the lpips package's pretrained net,
+    metrics.py:44)."""
+
+    def __init__(self, lpips_params=None, image_shape=(1, 64, 64, 3),
+                 lpips_weights: Optional[str] = None):
         self.lpips_net = LPIPS()
+        calibrated = lpips_params is not None or lpips_weights is not None
         if lpips_params is None:
             dummy = jnp.zeros(image_shape, jnp.float32)
             lpips_params = self.lpips_net.init(jax.random.PRNGKey(0), dummy, dummy)
+            if lpips_weights:
+                from adam_dehaze_tpu.training.checkpoint import load_checkpoint
+                lpips_params, _ = load_checkpoint(lpips_weights,
+                                                  dict(lpips_params))
         self.lpips_params = lpips_params
+        self.lpips_key = "lpips" if calibrated else "lpips_uncal"
         self.results: Dict[str, List[Dict[str, float]]] = defaultdict(list)
 
         @jax.jit
@@ -47,8 +61,8 @@ class ImageQualityMetrics:
             return {
                 "psnr": psnr(pred, target),
                 "ssim": ssim_gray(pred, target),
-                "lpips": self.lpips_net.apply(self.lpips_params,
-                                              2 * pred - 1, 2 * target - 1),
+                self.lpips_key: self.lpips_net.apply(
+                    self.lpips_params, 2 * pred - 1, 2 * target - 1),
             }
         self._batch_metrics = _batch_metrics
 

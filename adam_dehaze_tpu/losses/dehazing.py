@@ -35,7 +35,9 @@ class DehazingLoss:
 
     def __init__(self, lambda_l1: float = 1.0, lambda_content: float = 0.1,
                  lambda_perceptual: float = 0.1, density_weighted: bool = False,
-                 lambda_density: float = 0.1, dtype=jnp.float32):
+                 lambda_density: float = 0.1, dtype=jnp.float32,
+                 vgg_weights: Optional[str] = None,
+                 lpips_weights: Optional[str] = None):
         self.lambda_l1 = lambda_l1
         self.lambda_content = lambda_content
         self.lambda_perceptual = lambda_perceptual
@@ -43,14 +45,30 @@ class DehazingLoss:
         self.lambda_density = lambda_density
         self.content_net = VGG16Features(taps=CONTENT_TAPS, dtype=dtype)
         self.lpips_net = LPIPS(dtype=dtype)
+        self.vgg_weights = vgg_weights
+        self.lpips_weights = lpips_weights
 
     def init(self, key, image_shape=(1, 64, 64, 3)) -> Dict[str, Any]:
+        """Feature-net params: random templates, overridden by converted
+        checkpoints when `loss.vgg_weights` / `loss.lpips_weights` point at
+        orbax artifacts from tools/convert_reference_checkpoint.py (the
+        reference trains against PRETRAINED VGG16/LPIPS nets, loss.py:19-38,
+        91; without converted weights these remain random surrogates)."""
         kc, kl = jax.random.split(key)
         dummy = jnp.zeros(image_shape, jnp.float32)
-        return {
+        out = {
             "content": self.content_net.init(kc, dummy),
             "lpips": self.lpips_net.init(kl, dummy, dummy),
         }
+        if self.vgg_weights or self.lpips_weights:
+            from adam_dehaze_tpu.training.checkpoint import load_checkpoint
+            if self.vgg_weights:
+                out["content"], _ = load_checkpoint(self.vgg_weights,
+                                                    dict(out["content"]))
+            if self.lpips_weights:
+                out["lpips"], _ = load_checkpoint(self.lpips_weights,
+                                                  dict(out["lpips"]))
+        return out
 
     def content(self, loss_params, pred, target) -> jax.Array:
         # One feature pass over the concatenated pair: same numerics (the
@@ -127,6 +145,8 @@ def get_dehazing_loss(config) -> DehazingLoss:
         density_weighted=loss_cfg.get("density_weighted", False),
         lambda_density=loss_cfg.get("lambda_density", 0.1),
         dtype=dtype,
+        vgg_weights=loss_cfg.get("vgg_weights") or None,
+        lpips_weights=loss_cfg.get("lpips_weights") or None,
     )
 
 

@@ -6,11 +6,13 @@ AlexNet feature taps, channel-unit-normalised, squared differences weighted
 by per-channel linear heads, spatially averaged, summed over layers.
 
 Calibrated linear-head weights can be loaded from a converted `lpips`
-checkpoint (training/checkpoint.py:load_torch_lpips, gated on the file being
-supplied). Without them the heads default to uniform 1/C, which degrades
-gracefully to the mean normalised squared feature distance — monotonic and
-usable for training, but not numerically the published LPIPS scale; tests and
-eval report it as `lpips` either way, matching the reference's JSON schema.
+checkpoint (training/checkpoint.py:load_torch_lpips; wire via
+`loss.lpips_weights`). Without them the heads default to uniform 1/C, which
+degrades gracefully to the mean normalised squared feature distance —
+monotonic and usable for training, but NOT the published LPIPS scale, so
+evaluation reports the uncalibrated value as `lpips_uncal`
+(evaluation/metrics.py:ImageQualityMetrics); only calibrated weights earn the
+`lpips` key.
 """
 from __future__ import annotations
 

@@ -15,8 +15,11 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adam_dehaze_tpu.nn.efficientnet import EfficientNetB0
-from adam_dehaze_tpu.nn.mobilenet import MobileNetV2
+from adam_dehaze_tpu.nn.efficientnet import (
+    EfficientNet,
+    efficientnet_feature_dim,
+)
+from adam_dehaze_tpu.nn.mobilenet import MobileNetV2, MobileNetV3
 from adam_dehaze_tpu.nn.resnet import resnet18, resnet34, resnet50
 
 Dtype = Any
@@ -26,7 +29,14 @@ _BACKBONES = {
     "resnet34": (resnet34, 512),
     "resnet50": (resnet50, 2048),
     "mobilenet_v2": (lambda dtype: MobileNetV2(dtype=dtype), 1280),
-    "efficientnet_b0": (lambda dtype: EfficientNetB0(dtype=dtype), 1280),
+    "mobilenet_v3_small": (
+        lambda dtype: MobileNetV3(variant="small", dtype=dtype), 576),
+    "mobilenet_v3_large": (
+        lambda dtype: MobileNetV3(variant="large", dtype=dtype), 960),
+    **{f"efficientnet_b{i}": (
+        (lambda v: lambda dtype: EfficientNet(variant=v, dtype=dtype))(f"b{i}"),
+        efficientnet_feature_dim(f"b{i}"))
+       for i in range(4)},
 }
 
 

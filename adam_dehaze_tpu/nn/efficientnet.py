@@ -1,11 +1,14 @@
-"""EfficientNet-B0 backbone (flax, NHWC).
+"""EfficientNet-B0..B3 backbones (flax, NHWC).
 
-Classifier-backbone parity with the reference's timm EfficientNet option
-(reference: models/classifier.py:38-50). MBConv blocks with squeeze-excite,
-SiLU activations, feature_dim 1280.
+Classifier-backbone parity with the reference's timm EfficientNet family
+option (reference: models/classifier.py:38-50 accepts any
+`efficientnet_*` timm name). MBConv blocks with squeeze-excite, SiLU
+activations; B1-B3 follow the paper's compound scaling (width/depth
+multipliers + rounded filters/repeats).
 """
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax.numpy as jnp
@@ -21,6 +24,29 @@ _B0_CONFIG = [
     (6, 192, 4, 2, 5),
     (6, 320, 1, 1, 3),
 ]
+
+# variant -> (width_mult, depth_mult); resolutions are a data-pipeline
+# concern, not architectural.
+SCALING = {"b0": (1.0, 1.0), "b1": (1.0, 1.1), "b2": (1.1, 1.2),
+           "b3": (1.2, 1.4)}
+
+
+def round_filters(filters: float, width: float, divisor: int = 8) -> int:
+    """Width scaling with the paper's nearest-multiple-of-8 rule."""
+    filters *= width
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    return int(math.ceil(depth * repeats))
+
+
+def efficientnet_feature_dim(variant: str) -> int:
+    width, _ = SCALING[variant]
+    return round_filters(1280, width)
 
 
 def _bn(train, dtype):
@@ -79,26 +105,36 @@ class MBConv(nn.Module):
         return y
 
 
-class EfficientNetB0(nn.Module):
-    """Returns pooled features (B, 1280)."""
+class EfficientNet(nn.Module):
+    """Returns pooled features (B, feature_dim) for variant b0..b3."""
+    variant: str = "b0"
     dtype: Any = jnp.float32
 
-    feature_dim: int = 1280
+    @property
+    def feature_dim(self) -> int:
+        return efficientnet_feature_dim(self.variant)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        width, depth = SCALING[self.variant]
         x = x.astype(dt)
-        x = nn.Conv(32, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+        x = nn.Conv(round_filters(32, width), (3, 3), (2, 2),
+                    padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=dt, param_dtype=jnp.float32)(x)
         x = _bn(train, dt)(x)
         x = nn.silu(x)
         for expand, ch, repeats, stride, kernel in _B0_CONFIG:
-            for i in range(repeats):
+            ch = round_filters(ch, width)
+            for i in range(round_repeats(repeats, depth)):
                 x = MBConv(ch, stride if i == 0 else 1, expand, kernel,
                            dtype=dt)(x, train)
-        x = nn.Conv(1280, (1, 1), use_bias=False, dtype=dt,
+        x = nn.Conv(self.feature_dim, (1, 1), use_bias=False, dtype=dt,
                     param_dtype=jnp.float32)(x)
         x = _bn(train, dt)(x)
         x = nn.silu(x)
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+def EfficientNetB0(dtype=jnp.float32) -> EfficientNet:
+    return EfficientNet(variant="b0", dtype=dtype)

@@ -1,5 +1,6 @@
-"""MobileNetV2 backbone (flax, NHWC) — lightweight classifier option
-(reference: models/classifier.py:52-66 uses torchvision mobilenet_v2)."""
+"""MobileNetV2/V3 backbones (flax, NHWC) — lightweight classifier options
+(reference: models/classifier.py:52-66 uses torchvision mobilenet_v2 and
+mobilenet_v3_{small,large}; feature dims 1280 / 576 / 960)."""
 from __future__ import annotations
 
 from typing import Any
@@ -77,4 +78,143 @@ class MobileNetV2(nn.Module):
                     param_dtype=jnp.float32)(x)
         x = _bn(train, dt)(x)
         x = nn.relu6(x)
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 (paper config; structure/param shapes match torchvision's
+# mobilenet_v3_{small,large} features so converted checkpoints line up).
+# ---------------------------------------------------------------------------
+
+def hardswish(x):
+    return x * nn.relu6(x + 3.0) / 6.0
+
+
+def hardsigmoid(x):
+    return nn.relu6(x + 3.0) / 6.0
+
+
+def _make_divisible(v: int, divisor: int = 8) -> int:
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+# (kernel, expanded ch, out ch, use_se, use_hardswish, stride)
+V3_LARGE_CONFIG = [
+    (3, 16, 16, False, False, 1),
+    (3, 64, 24, False, False, 2),
+    (3, 72, 24, False, False, 1),
+    (5, 72, 40, True, False, 2),
+    (5, 120, 40, True, False, 1),
+    (5, 120, 40, True, False, 1),
+    (3, 240, 80, False, True, 2),
+    (3, 200, 80, False, True, 1),
+    (3, 184, 80, False, True, 1),
+    (3, 184, 80, False, True, 1),
+    (3, 480, 112, True, True, 1),
+    (3, 672, 112, True, True, 1),
+    (5, 672, 160, True, True, 2),
+    (5, 960, 160, True, True, 1),
+    (5, 960, 160, True, True, 1),
+]
+
+V3_SMALL_CONFIG = [
+    (3, 16, 16, True, False, 2),
+    (3, 72, 24, False, False, 2),
+    (3, 88, 24, False, False, 1),
+    (5, 96, 40, True, True, 2),
+    (5, 240, 40, True, True, 1),
+    (5, 240, 40, True, True, 1),
+    (5, 120, 48, True, True, 1),
+    (5, 144, 48, True, True, 1),
+    (5, 288, 96, True, True, 2),
+    (5, 576, 96, True, True, 1),
+    (5, 576, 96, True, True, 1),
+]
+
+
+class SqueezeExcite(nn.Module):
+    """SE gate with hardsigmoid (torchvision SqueezeExcitation: fc1/fc2 are
+    biased 1x1 convs on the pooled vector; squeeze = divisible(exp/4, 8))."""
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        squeeze = _make_divisible(self.channels // 4, 8)
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.Dense(squeeze, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(s)
+        return x * hardsigmoid(s)[:, None, None, :]
+
+
+class InvertedResidualV3(nn.Module):
+    kernel: int
+    expanded: int
+    features: int
+    use_se: bool
+    use_hs: bool
+    stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        act = hardswish if self.use_hs else nn.relu
+        in_ch = x.shape[-1]
+        y = x
+        if self.expanded != in_ch:
+            y = nn.Conv(self.expanded, (1, 1), use_bias=False, dtype=dt,
+                        param_dtype=jnp.float32)(y)
+            y = _bn(train, dt)(y)
+            y = act(y)
+        p = self.kernel // 2
+        y = nn.Conv(self.expanded, (self.kernel, self.kernel),
+                    (self.stride, self.stride), padding=((p, p), (p, p)),
+                    feature_group_count=self.expanded, use_bias=False,
+                    dtype=dt, param_dtype=jnp.float32)(y)
+        y = _bn(train, dt)(y)
+        y = act(y)
+        if self.use_se:
+            y = SqueezeExcite(self.expanded, dtype=dt)(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=dt,
+                    param_dtype=jnp.float32)(y)
+        y = _bn(train, dt)(y)
+        if self.stride == 1 and in_ch == self.features:
+            y = y + x
+        return y
+
+
+class MobileNetV3(nn.Module):
+    """Returns pooled features: (B, 576) small / (B, 960) large — matching
+    the reference's backbone.classifier = Identity contract
+    (classifier.py:56-66)."""
+    variant: str = "small"  # small | large
+    dtype: Dtype = jnp.float32
+
+    @property
+    def feature_dim(self) -> int:
+        return 576 if self.variant == "small" else 960
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        cfgs = V3_SMALL_CONFIG if self.variant == "small" else V3_LARGE_CONFIG
+        x = x.astype(dt)
+        x = nn.Conv(16, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=dt, param_dtype=jnp.float32)(x)
+        x = _bn(train, dt)(x)
+        x = hardswish(x)
+        for k, exp, c, se, hs, s in cfgs:
+            x = InvertedResidualV3(k, exp, c, se, hs, s, dtype=dt)(x, train)
+        last = 6 * cfgs[-1][2]  # 576 small / 960 large
+        x = nn.Conv(last, (1, 1), use_bias=False, dtype=dt,
+                    param_dtype=jnp.float32)(x)
+        x = _bn(train, dt)(x)
+        x = hardswish(x)
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)

@@ -49,3 +49,50 @@ def all_hosts_mean(value: float) -> float:
     from jax.experimental import multihost_utils
     gathered = multihost_utils.process_allgather(np.asarray(value))
     return float(np.mean(gathered))
+
+
+def all_hosts_mean_tree(tree):
+    """Average a pytree of host-local scalar metrics across processes —
+    one allgather per leaf batch (multihost_utils handles pytrees)."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(float, tree)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        jax.tree_util.tree_map(np.asarray, tree))
+    return jax.tree_util.tree_map(lambda g: float(np.mean(g)), gathered)
+
+
+class HostShardedDataset:
+    """View of a dataset restricted to this host's strided shard — per-host
+    data loading so no host reads the full corpus. Strided (not contiguous)
+    so every host sees every intensity class even in class-grouped listings.
+
+    Composes with any dataset exposing __len__/load (HazyImageDataset,
+    FilteredDataset, DetectionDataset)."""
+
+    def __init__(self, base, index: Optional[int] = None,
+                 count: Optional[int] = None):
+        self.base = base
+        self.index = jax.process_index() if index is None else index
+        self.count = jax.process_count() if count is None else count
+        self.indices = list(range(self.index, len(base), self.count))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def load(self, idx: int):
+        return self.base.load(self.indices[idx])
+
+
+def shard_loader_for_host(loader):
+    """Rewrap a DataLoader's dataset with this host's shard (identity for a
+    single process). The loader keeps its batch size: each host contributes
+    `batch` samples to a global batch of `batch * process_count`."""
+    if jax.process_count() == 1:
+        return loader
+    from adam_dehaze_tpu.data.dataset import DataLoader
+    ds = HostShardedDataset(loader.dataset)
+    return DataLoader(ds, batch_size=loader.batch_size,
+                      shuffle=loader.shuffle, num_workers=loader.num_workers,
+                      drop_remainder=loader.drop_remainder,
+                      seed=1000 * jax.process_index())

@@ -24,13 +24,24 @@ _ACTIVE: Optional[NamedSharding] = None
 @contextlib.contextmanager
 def channel_sharding(mesh: Mesh, axis: str = "model"):
     """Within this context, `shard_channels` constrains NHWC activations to
-    shard C over `axis`. Trace (jit) the model inside the context."""
+    shard C over `axis`. Trace (jit) the model inside the context.
+
+    The spec COMPOSES with the DP+SP batch sharding: batch stays on 'data'
+    and H on 'spatial' where those axes exist in the mesh. Constraining them
+    to None would demand a replicating reshard that XLA's SPMD partitioner
+    can only satisfy by involuntary full rematerialization of the activation
+    (seen as spmd_partitioner.cc warnings in the r1 multichip dryrun)."""
     global _ACTIVE
     if axis not in mesh.axis_names or mesh.shape[axis] <= 1:
         yield
         return
+
+    def dim(name):
+        return name if (name in mesh.axis_names and mesh.shape[name] > 1
+                        and name != axis) else None
+
     prev = _ACTIVE
-    _ACTIVE = NamedSharding(mesh, P(None, None, None, axis))
+    _ACTIVE = NamedSharding(mesh, P(dim("data"), dim("spatial"), None, axis))
     try:
         yield
     finally:

@@ -237,6 +237,64 @@ def load_torch_alexnet(pth_path_or_sd, flax_params):
     return params
 
 
+def load_torch_mobilenet_v3(pth_path_or_sd, flax_params, flax_batch_stats,
+                            variant: str = "small"):
+    """Convert torchvision mobilenet_v3_{small,large} `features` weights into
+    our MobileNetV3 trees (reference classifier backbones,
+    classifier.py:56-66). Returns (params, batch_stats) copies.
+
+    torchvision layout: features.0 stem ConvBNAct; features.i InvertedResidual
+    with block.j sub-convs (expand / depthwise / SqueezeExcitation fc1-fc2 /
+    project); features.last 1x1 ConvBNAct."""
+    import copy
+    from adam_dehaze_tpu.nn.mobilenet import V3_LARGE_CONFIG, V3_SMALL_CONFIG
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+    cfgs = V3_SMALL_CONFIG if variant == "small" else V3_LARGE_CONFIG
+    assigns_p, assigns_s = [], []
+
+    def convbn(tp, fp_conv, fp_bn):
+        assigns_p.append((fp_conv + ("kernel",),
+                          convert_torch_conv(sd[f"{tp}.0.weight"])))
+        _bn_entries(sd, f"{tp}.1", fp_bn, fp_bn, assigns_p, assigns_s)
+
+    convbn("features.0", ("Conv_0",), ("BatchNorm_0",))
+    in_ch = 16
+    for i, (k, exp, c, se, hs, s) in enumerate(cfgs, start=1):
+        fp = (f"InvertedResidualV3_{i - 1}",)
+        j = fj = 0
+        if exp != in_ch:
+            convbn(f"features.{i}.block.0", fp + ("Conv_0",),
+                   fp + ("BatchNorm_0",))
+            j = fj = 1
+        convbn(f"features.{i}.block.{j}", fp + (f"Conv_{fj}",),
+               fp + (f"BatchNorm_{fj}",))
+        j += 1
+        fj += 1
+        if se:
+            se_tp = f"features.{i}.block.{j}"
+            for fc in ("fc1", "fc2"):
+                w = np.asarray(sd[f"{se_tp}.{fc}.weight"])  # (out,in,1,1)
+                assigns_p.append((fp + ("SqueezeExcite_0", fc, "kernel"),
+                                  np.transpose(w[:, :, 0, 0])))
+                assigns_p.append((fp + ("SqueezeExcite_0", fc, "bias"),
+                                  sd[f"{se_tp}.{fc}.bias"]))
+            j += 1
+        convbn(f"features.{i}.block.{j}", fp + (f"Conv_{fj}",),
+               fp + (f"BatchNorm_{fj}",))
+        in_ch = c
+    convbn(f"features.{len(cfgs) + 1}", ("Conv_1",), ("BatchNorm_1",))
+
+    for path, value in assigns_p:
+        _set(params, path, value)
+    for path, value in assigns_s:
+        _set(stats, path, value)
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # Branch / classifier / joint converters (the reference's actual trained
 # artifacts: classifier, three branch models, joint 5-state checkpoint —

@@ -36,9 +36,44 @@ from adam_dehaze_tpu.training.state import (
 )
 
 
+def _load_pretrained(variables, pretrained_path: str):
+    """Honor `classifier.pretrained` as a path to a CONVERTED orbax
+    checkpoint (tools/convert_reference_checkpoint.py): either a full
+    classifier tree (kind=classifier: ResNet_0 + Dense_0/1) or a bare
+    backbone (kind=resnet18/34/50), merged under the backbone subtree.
+    The reference's `pretrained: true` means torchvision ImageNet weights
+    (classifier.py:24) — unavailable here, so a bool is a warned no-op."""
+    import orbax.checkpoint as ocp
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(pretrained_path))
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    bb = next(k for k in params if k.startswith("ResNet"))
+    if any(k.startswith("Dense") for k in raw.get("params", {})):
+        tree, _ = ckpt.load_checkpoint(
+            pretrained_path, {"params": variables["params"],
+                              "batch_stats": variables["batch_stats"]})
+        print(f"Loaded full pretrained classifier from {pretrained_path}")
+        return tree["params"], tree["batch_stats"]
+    tree, _ = ckpt.load_checkpoint(
+        pretrained_path, {"params": variables["params"][bb],
+                          "batch_stats": variables["batch_stats"][bb]})
+    params[bb] = tree["params"]
+    stats[bb] = tree["batch_stats"]
+    print(f"Loaded pretrained backbone from {pretrained_path}")
+    return params, stats
+
+
 def _init_state(model, config, key, img_size: int) -> Tuple[TrainState, optax.GradientTransformation]:
     dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     variables = model.init({"params": key, "dropout": key}, dummy)
+    pre = config["classifier"].get("pretrained")
+    if isinstance(pre, str) and pre:
+        p, s = _load_pretrained(variables, pre)
+        variables = {"params": p, "batch_stats": s}
+    elif pre is True:
+        print("classifier.pretrained=true ignored: torchvision ImageNet "
+              "weights are unavailable in this environment; pass a converted "
+              "checkpoint path instead (tools/convert_reference_checkpoint.py)")
     tx = make_optimizer(config["classifier"]["learning_rate"],
                         config["classifier"]["weight_decay"])
     state = TrainState(

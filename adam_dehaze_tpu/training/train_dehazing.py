@@ -78,6 +78,11 @@ def get_intensity_loader(config, split: str, intensity: str) -> DataLoader:
     base = HazyImageDataset(config["dataset"][key], split,
                             config["dataset"]["img_size"])
     ds = FilteredDataset(base, intensity)
+    if len(ds) == 0:
+        raise ValueError(
+            f"No '{intensity}' samples for split '{split}' under "
+            f"{os.path.join(config['dataset'][key], split)} — an empty "
+            "stream would train to NaN (see get_dataloader for the layout)")
     return DataLoader(ds, batch_size=config["dataset"]["batch_size"],
                       shuffle=(split == "train"),
                       num_workers=config["dataset"]["num_workers"],

@@ -6,10 +6,21 @@ forward + adaptive routing + the routed dehazing branch, on the real TPU chip
 at the reference's working resolution (256x256, reference:
 config/config.yaml:7) in bfloat16 with Pallas kernels enabled.
 
-Routing uses the batch-binned hard-routing engine with BALANCED class traffic
-(the FogIntensity-25K corpus is balanced across low/medium/high) — each image
-pays for the classifier plus exactly its own branch, which is the same
-accounting as the reference's "adaptive average" number.
+Primary metric: batch-binned hard routing with BALANCED class traffic (the
+FogIntensity-25K corpus is balanced across low/medium/high) — each image pays
+for the classifier plus exactly its own branch, the same accounting as the
+reference's "adaptive average" number. Extra fields on the SAME JSON line:
+
+- imgs_per_sec_per_chip, mfu_pct (+ the peak-TFLOPs assumption)
+- skewed_ms_per_image: all-high traffic (worst-case adaptive FLOPs; no
+  oracle balance) — reuses the same compiled bucket programs
+- single_image_p50_ms: per-call blocking p50 through lax.switch serving
+  (includes the axon tunnel RTT when remote) and its streamed companion
+
+Benchmark integrity: if the binned engine throws, the soft 3-branch blend is
+measured INSTEAD and reported under metric "adaptive_dehaze_soft_fallback..."
+— a different name, so a regression can never silently corrupt the
+round-over-round trend of the primary metric.
 
 Baseline: 30 ms/image average adaptive inference on the reference's GPU
 (README.md:149; BASELINE.md). vs_baseline = baseline_ms / ours_ms (higher is
@@ -18,6 +29,7 @@ better). Prints exactly ONE JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -29,13 +41,53 @@ BATCH = 48  # divisible by 3 for balanced binning
 SIZE = 256
 WARMUP = 5
 ITERS = 30
+SINGLE_CALLS = 20
+
+# bf16 peak by device kind; conservative default.
+_PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v6e": 918.0,
+                "v5p": 459.0}
+
+
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    for k, v in _PEAK_TFLOPS.items():
+        if k in kind:
+            return v
+    return 197.0
+
+
+def _time(fn, iters=ITERS, warmup=WARMUP):
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def _flops_of(jitted, *args) -> float:
+    """FLOPs estimate from the lowered (pre-optimization) HLO — avoids a
+    second remote compile; falls back to 0 if cost analysis is unavailable."""
+    try:
+        cost = jitted.lower(*args).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
     from adam_dehaze_tpu.config import default_config
     from adam_dehaze_tpu.models.branches import create_branch_models
     from adam_dehaze_tpu.models.classifier import create_classifier
-    from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+    from adam_dehaze_tpu.models.routing import (
+        BinnedAdaptiveEngine,
+        make_adaptive_infer,
+    )
 
     config = default_config()
     on_tpu = jax.default_backend() == "tpu"
@@ -51,60 +103,94 @@ def main():
     branch_vars = {n: m.init(jax.random.PRNGKey(i), dummy)
                    for i, (n, m) in enumerate(branches.items())}
 
-    classifier_apply = jax.jit(
-        lambda x: classifier.apply(clf_vars, x))
+    classifier_apply = jax.jit(lambda x: classifier.apply(clf_vars, x))
     branch_applies = [
-        (lambda v, m: (lambda img: m.apply(v, img)))(branch_vars[n], branches[n])
+        (lambda v, m: jax.jit(lambda img: m.apply(v, img)))(
+            branch_vars[n], branches[n])
         for n in ("low", "medium", "high")
     ]
+    bucket = BATCH // 3
     engine = BinnedAdaptiveEngine(classifier_apply, branch_applies,
-                                  buckets=(BATCH // 3,))
+                                  buckets=(bucket,))
 
     x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
-    # Balanced oracle labels: one third of the batch per intensity class.
-    labels = np.repeat(np.arange(3), BATCH // 3)
+    balanced = np.repeat(np.arange(3), bucket)
+    skewed = np.full(BATCH, 2)  # all-high: worst-case adaptive FLOPs
 
-    def run_binned():
-        for _ in range(WARMUP):
-            out, _ = engine(x, intensity=labels)
-        jax.block_until_ready(out)
-        start = time.perf_counter()
-        for _ in range(ITERS):
-            out, _ = engine(x, intensity=labels)
-        jax.block_until_ready(out)
-        return time.perf_counter() - start
+    result = {"unit": "ms/image"}
+    try:
+        per_iter = _time(lambda: engine(x, intensity=balanced)[0])
+        ms = per_iter / BATCH * 1000.0
+        result["metric"] = "adaptive_dehaze_ms_per_image_256"
+        result["value"] = round(ms, 4)
+        result["mode"] = "binned"
 
-    def run_soft_fallback():
-        # Conservative fallback: soft-blend every branch on the full batch.
+        # Skewed (all-high) traffic: same compiled programs, no oracle balance.
+        per_iter_skew = _time(lambda: engine(x, intensity=skewed)[0],
+                              iters=max(ITERS // 3, 5))
+        result["skewed_all_high_ms_per_image"] = round(
+            per_iter_skew / BATCH * 1000.0, 4)
+
+        # Non-oracle routing: classifier argmax decides the bins (random-
+        # weight classifier => arbitrary skew incl. bucket padding waste).
+        per_iter_pred = _time(lambda: engine(x)[0], iters=max(ITERS // 3, 5))
+        result["predicted_routing_ms_per_image"] = round(
+            per_iter_pred / BATCH * 1000.0, 4)
+
+        # Measured-FLOPs MFU for the balanced primary metric.
+        xb = x[:bucket]
+        flops_iter = _flops_of(engine.classifier_apply, x) + sum(
+            _flops_of(f, xb) for f in engine.branch_applies)
+        if flops_iter > 0:
+            peak = _peak_tflops()
+            result["measured_gflops_per_image"] = round(
+                flops_iter / BATCH / 1e9, 1)
+            result["mfu_pct"] = round(
+                (flops_iter / per_iter) / (peak * 1e12) * 100.0, 1)
+            result["assumed_peak_tflops"] = peak
+
+        # Single-image serving latency through lax.switch (one branch/image).
+        switch_fn = jax.jit(make_adaptive_infer(
+            lambda im: classifier.apply(clf_vars, im),
+            [lambda im, v=branch_vars[n], m=branches[n]: m.apply(v, im)
+             for n in ("low", "medium", "high")],
+            mode="switch"))
+        x1 = x[:1]
+        jax.block_until_ready(switch_fn(x1))
+        lat = []
+        for _ in range(SINGLE_CALLS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(switch_fn(x1))
+            lat.append((time.perf_counter() - t0) * 1000.0)
+        result["single_image_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
+        t0 = time.perf_counter()
+        outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
+        jax.block_until_ready(outs)
+        result["single_image_streamed_ms"] = round(
+            (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
+    except Exception as e:  # never lose the benchmark round entirely
+        print(f"binned engine failed ({type(e).__name__}: {e}); "
+              "reporting the soft blend under its own metric name",
+              file=sys.stderr)
+
         @jax.jit
         def soft(images):
-            logits, _ = classifier_apply(images)
+            logits, _ = classifier.apply(clf_vars, images)
             w = jax.nn.softmax(logits / 0.5, axis=1)
             ys = [f(images) for f in branch_applies]
             return sum(w[:, i, None, None, None] * y for i, y in enumerate(ys))
-        for _ in range(WARMUP):
-            out = soft(x)
-        jax.block_until_ready(out)
-        start = time.perf_counter()
-        for _ in range(ITERS):
-            out = soft(x)
-        jax.block_until_ready(out)
-        return time.perf_counter() - start
 
-    try:
-        elapsed = run_binned()
-    except Exception as e:  # never lose the benchmark to an engine edge case
-        print(f"binned engine failed ({type(e).__name__}); soft fallback",
-              file=__import__("sys").stderr)
-        elapsed = run_soft_fallback()
+        per_iter = _time(lambda: soft(x))
+        ms = per_iter / BATCH * 1000.0
+        # DIFFERENT metric name: 3x-FLOPs accounting must not pollute the
+        # binned trend line (round-1 verdict, weakness #3).
+        result["metric"] = "adaptive_dehaze_soft_fallback_ms_per_image_256"
+        result["value"] = round(ms, 4)
+        result["mode"] = "soft_fallback"
 
-    ms_per_image = elapsed / (ITERS * BATCH) * 1000.0
-    print(json.dumps({
-        "metric": "adaptive_dehaze_ms_per_image_256",
-        "value": round(ms_per_image, 4),
-        "unit": "ms/image",
-        "vs_baseline": round(BASELINE_MS_PER_IMAGE / ms_per_image, 2),
-    }))
+    result["imgs_per_sec_per_chip"] = round(1000.0 / result["value"], 1)
+    result["vs_baseline"] = round(BASELINE_MS_PER_IMAGE / result["value"], 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,7 @@ def _setup(key, batch=7):
     return classifier, applies, x
 
 
+@pytest.mark.slow
 def test_binned_equals_select(key):
     classifier, applies, x = _setup(key)
     engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4, 8))
@@ -54,3 +56,24 @@ def test_binned_single_class(key):
     want = applies[2](x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_run_stream_matches_call(key):
+    """Pipelined streaming serving == per-batch calls (same binning, same
+    outputs), for both predicted and oracle labels."""
+    classifier, applies, x = _setup(key, batch=6)
+    engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4))
+    batches = [x[:3], x[3:], x[1:4]]
+    direct = [engine(b) for b in batches]
+    streamed = list(engine.run_stream(batches))
+    assert len(streamed) == len(direct)
+    for (yd, idir), (ys, istr) in zip(direct, streamed):
+        np.testing.assert_array_equal(idir, istr)
+        np.testing.assert_allclose(np.asarray(yd), np.asarray(ys), atol=1e-6)
+
+    oracle = [np.array([0, 1, 2]), np.array([2, 2, 2]), np.array([1, 0, 1])]
+    direct_o = [engine(b, intensity=i) for b, i in zip(batches, oracle)]
+    streamed_o = list(engine.run_stream(batches, intensities=oracle))
+    for (yd, _), (ys, lab), want in zip(direct_o, streamed_o, oracle):
+        np.testing.assert_array_equal(lab, want)
+        np.testing.assert_allclose(np.asarray(yd), np.asarray(ys), atol=1e-6)

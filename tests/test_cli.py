@@ -43,6 +43,7 @@ def cli_env(tmp_path_factory):
     return cfg_path, str(tmp)
 
 
+@pytest.mark.slow
 def test_cli_train_dehazing_and_demo(cli_env, monkeypatch):
     cfg_path, tmp = cli_env
     monkeypatch.chdir(tmp)  # experiments/ dir lands under tmp

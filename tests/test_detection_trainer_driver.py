@@ -26,6 +26,7 @@ def det_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_detection_driver(det_root, tmp_path):
     from adam_dehaze_tpu.training.train_detection import train_detection
 

@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,7 @@ def test_assign_level_simple():
     assert 0 < float(ctr_t[2, 2]) <= 1
 
 
+@pytest.mark.slow
 def test_fcos_loss_and_train_step(key):
     module = FCOSDetector(num_classes=6, backbone_name="fcos_resnet18_fpn",
                           channels=16)

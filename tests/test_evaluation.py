@@ -46,13 +46,14 @@ def test_image_quality_metrics_accumulator(rng):
     assert set(avg) == {"low_intensity", "high_intensity"}
     for cat in avg:
         assert avg[cat]["samples"] == 2
-        assert {"psnr", "ssim", "lpips"} <= set(avg[cat])
+        assert {"psnr", "ssim", "lpips_uncal"} <= set(avg[cat])
     # Single-sample API matches the batch API.
     iq2 = ImageQualityMetrics(image_shape=(1, 16, 16, 3))
     iq2.add_sample(b[0], a[0])
     assert iq2.compute_averages()["all"]["samples"] == 1
 
 
+@pytest.mark.slow
 def test_run_comprehensive_evaluation(synth_root, tmp_path):
     from adam_dehaze_tpu.evaluation.evaluate import run_comprehensive_evaluation
     cfg = eval_config(synth_root, str(tmp_path))

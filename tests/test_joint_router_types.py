@@ -14,6 +14,10 @@ from adam_dehaze_tpu.training.train_joint import (
     make_train_step,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy joint-step graphs
+
 
 def tiny_cfg(routing_type):
     cfg = default_config()

@@ -7,6 +7,8 @@ from adam_dehaze_tpu.config import default_config
 from adam_dehaze_tpu.data.preprocessing import generate_synthetic_dataset
 from adam_dehaze_tpu.serving import AdaptiveDehazer
 
+pytestmark = __import__('pytest').mark.slow  # heavy joint/serving graphs
+
 
 @pytest.fixture(scope="module")
 def experiment(tmp_path_factory):

@@ -102,6 +102,7 @@ def test_train_dehazing_slice(synth_root, tmp_path):
     assert 0 <= out["ssim"] <= 1
 
 
+@pytest.mark.slow
 def test_train_classifier_slice(synth_root, tmp_path):
     from adam_dehaze_tpu.training.train_classifier import (
         evaluate_classifier,
@@ -117,6 +118,7 @@ def test_train_classifier_slice(synth_root, tmp_path):
     assert "confusion_matrix" in result
 
 
+@pytest.mark.slow
 def test_train_joint_slice(synth_root, tmp_path):
     from adam_dehaze_tpu.training.train_joint import (
         evaluate_joint_model,
@@ -132,6 +134,7 @@ def test_train_joint_slice(synth_root, tmp_path):
     assert "cls_acc" in out
 
 
+@pytest.mark.slow
 def test_resume_continues(synth_root, tmp_path):
     from adam_dehaze_tpu.training.train_dehazing import train_dehazing_model
     cfg = tiny_config(synth_root, str(tmp_path))
