@@ -131,7 +131,6 @@ def decode_detections(level_outputs, score_threshold: float = 0.05,
 
     Class index 0 is background (torchvision COCO convention, 91 classes).
     """
-    per_image: List[Dict[str, List]] = None
     batch = np.asarray(level_outputs[0]["logits"]).shape[0]
     all_boxes = [[] for _ in range(batch)]
     all_scores = [[] for _ in range(batch)]

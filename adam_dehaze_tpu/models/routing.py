@@ -66,7 +66,13 @@ class SoftRouter(nn.Module):
 
 class HardRouter(nn.Module):
     """Route each image through the branch picked by argmax intensity
-    (reference: routing.py:5-68). One-hot select instead of mask scatter."""
+    (reference: routing.py:5-68). One-hot select instead of mask scatter.
+
+    NOTE: as a flax module this computes ALL THREE branches and selects
+    (3x FLOPs) — numerically identical to the reference's mask-scatter and
+    fine for training parity, but NOT the serving path. For adaptive-FLOPs
+    inference use `make_adaptive_infer(mode="switch")` (exactly one branch
+    per image) or `BinnedAdaptiveEngine` (batched bucket dispatch)."""
     models: Dict[str, nn.Module]
     classifier: Optional[nn.Module] = None
 
@@ -92,7 +98,11 @@ class HardRouter(nn.Module):
 
 
 class GatedRouter(nn.Module):
-    """Learned gate over classifier features (reference: routing.py:134-226)."""
+    """Learned gate over classifier features (reference: routing.py:134-226).
+
+    `feature_dim` documents the classifier's feature width (the gate's Dense
+    layers infer their input size at init; the field mirrors the reference's
+    constructor surface, routing.py:141)."""
     models: Dict[str, nn.Module]
     classifier: Optional[nn.Module] = None
     feature_dim: int = 512
