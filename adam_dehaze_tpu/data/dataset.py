@@ -32,13 +32,16 @@ INTENSITY_MAP = {"low": 0, "medium": 1, "high": 2}
 
 def _imread_rgb(path: str, img_size: Optional[int] = None) -> np.ndarray:
     import cv2
+
+    from adam_dehaze_tpu.data.native_collate import normalize_u8
     img = cv2.imread(path)
     if img is None:
         raise FileNotFoundError(path)
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if img_size is not None and (img.shape[0] != img_size or img.shape[1] != img_size):
         img = cv2.resize(img, (img_size, img_size))
-    return img.astype(np.float32) / 255.0
+    # Fused native u8 -> [0,1] float32 (native/collate.cpp; numpy fallback).
+    return normalize_u8(img, n_threads=1)
 
 
 class HazyImageDataset:

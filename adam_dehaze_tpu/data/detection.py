@@ -58,11 +58,19 @@ class DetectionDataset:
     def load(self, idx: int) -> Dict:
         s = self.samples[idx]
         import cv2
+
+        from adam_dehaze_tpu.data.native_collate import normalize_u8
         raw = cv2.imread(s["hazy"])
+        if raw is None:
+            raise FileNotFoundError(s["hazy"])
         oh, ow = raw.shape[:2]
         sx, sy = self.img_size / ow, self.img_size / oh
-        img = _imread_rgb(s["hazy"], self.img_size)
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        raw = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+        if (oh, ow) != (self.img_size, self.img_size):
+            raw = cv2.resize(raw, (self.img_size, self.img_size))
+        # Fused native u8 -> ImageNet-normalised float32 (one pass).
+        img = normalize_u8(raw, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                           n_threads=1)
         with open(s["annotation"]) as f:
             ann = json.load(f)
         boxes, labels = [], []

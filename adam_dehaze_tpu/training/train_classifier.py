@@ -85,12 +85,18 @@ def _init_state(model, config, key, img_size: int) -> Tuple[TrainState, optax.Gr
     return state, tx
 
 
-def make_train_step(model, tx, augmentation: bool = True):
+def make_train_step(model, tx, augmentation: bool = True,
+                    jitter: float = 0.1):
+    """jitter: ColorJitter strength (reference parity 0.1, dataset.py:101-116).
+    Set classifier.jitter: 0 when brightness/contrast ARE the label signal
+    (synthetic fog-intensity corpora): +-10% jitter moves samples across
+    class boundaries and caps accuracy well below the 99.8% target."""
     @jax.jit
     def step(state: TrainState, batch, key):
         kaug, kdrop = jax.random.split(key)
         if augmentation:
-            batch = augment_triplet(kaug, batch)
+            batch = augment_triplet(kaug, batch, brightness=jitter,
+                                    contrast=jitter)
 
         def loss_fn(params):
             (logits, _), mut = model.apply(
@@ -155,7 +161,9 @@ def train_classifier(config, resume: bool = False):
 
     train_loader = get_dataloader(config, "train")
     val_loader = get_dataloader(config, "val")
-    train_step = make_train_step(model, tx, config["dataset"].get("augmentation", True))
+    train_step = make_train_step(model, tx,
+                                 config["dataset"].get("augmentation", True),
+                                 jitter=config["classifier"].get("jitter", 0.1))
     eval_step = make_eval_step(model)
 
     epochs = config["classifier"]["epochs"]
