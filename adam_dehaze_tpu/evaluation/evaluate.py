@@ -45,7 +45,15 @@ def _load_joint(config):
     router, state, _tx = build_router_state(config, jax.random.PRNGKey(0))
     best = ckpt.best_model_path(config["joint_training"]["checkpoint_dir"])
     if os.path.isdir(best):
-        tree, _ = ckpt.load_checkpoint(best, state_to_tree(state))
+        try:
+            tree, _ = ckpt.load_checkpoint(best, state_to_tree(state))
+        except ValueError as e:
+            raise ValueError(
+                f"Joint checkpoint at {best} does not match the models built "
+                "from this config — the experiment was likely trained with "
+                "different classifier/dehazing sizes. Pass the experiment's "
+                f"own config (experiments/<name>/config.yaml). [{e}]"
+            ) from e
         state = tree_to_state(state, tree)
         print(f"Loaded joint checkpoint from {best}")
     return router, state
