@@ -103,7 +103,8 @@ def get_detection_dataloader(config, split: str = "test",
                              img_size: int = 512) -> DataLoader:
     """(reference: data/dataset.py:251-267; 512 is its fixed detection
     resolution, overridable here)"""
-    root = config["dataset"]["test_path"]
+    key = {"train": "train_path", "val": "val_path"}.get(split, "test_path")
+    root = config["dataset"][key]
     ds = DetectionDataset(
         root_dir=root,
         annotation_dir=os.path.join(root, "annotations"),

@@ -168,7 +168,10 @@ def train_detection(config, epochs: int = None, resume: bool = False,
                        batch_stats=variables["batch_stats"],
                        opt_state=tx.init(variables["params"]))
 
-    loader = get_detection_dataloader(config, split="test", img_size=img_size)
+    # Train on the train split; evaluation happens on test via
+    # evaluate_object_detection (training on the eval split would make the
+    # hazy-vs-dehazed mAP comparison overfitting-flattered).
+    loader = get_detection_dataloader(config, split="train", img_size=img_size)
     step = make_detection_train_step(det.module, tx)
     logger = MetricsLogger(os.path.join(config.get("_logs_dir", "logs"),
                                         "detection"))
