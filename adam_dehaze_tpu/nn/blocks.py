@@ -42,12 +42,14 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from adam_dehaze_tpu.ops.quant import conv_kwargs
         k = _pair(self.kernel_size)
         p = self.padding if self.padding is not None else k[0] // 2
         x = nn.Conv(
             self.features, k, strides=(self.stride, self.stride),
             padding=((p, p), (p, p)), use_bias=not self.use_bn,
             dtype=self.dtype, param_dtype=jnp.float32,
+            **conv_kwargs(),  # int8 serving path (ops/quant.py), off by default
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(

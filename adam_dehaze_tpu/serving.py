@@ -52,12 +52,17 @@ class AdaptiveDehazer:
 
     def _branch_applies(self):
         from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+        quant = self.config.get("tpu", {}).get("serving_quant") or None
         fns = []
         for level in INTENSITY_ORDER:
             sub = {"params": self._variables["params"][f"models_{level}"],
                    "batch_stats": self._variables["batch_stats"][f"models_{level}"]}
             module = self.router.models[level]
-            fns.append(lambda x, m=module, v=sub: m.apply(v, x))
+            fn = lambda x, m=module, v=sub: m.apply(v, x)
+            if quant == "int8":
+                from adam_dehaze_tpu.ops.quant import quantize_apply
+                fn = quantize_apply(fn)
+            fns.append(fn)
         return fns
 
     def _classifier_apply(self):
@@ -74,6 +79,18 @@ class AdaptiveDehazer:
                 self._classifier_apply(), self._branch_applies())
         out, intensity = self._engines["binned"](jnp.asarray(images))
         return np.asarray(out), np.asarray(intensity)
+
+    def route_hard_stream(self, batches):
+        """Steady-state pipelined serving over an iterable of batches: the
+        classifier of batch k+1 overlaps batch k's host binning round-trip
+        (models/routing.py:BinnedAdaptiveEngine.run_stream). Yields
+        (dehazed np.ndarray, intensity np.ndarray)."""
+        if "binned" not in self._engines:
+            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+            self._engines["binned"] = BinnedAdaptiveEngine(
+                self._classifier_apply(), self._branch_applies())
+        for out, intensity in self._engines["binned"].run_stream(batches):
+            yield np.asarray(out), np.asarray(intensity)
 
     def route_switch(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """Per-image lax.switch serving (lowest single-image latency)."""

@@ -149,6 +149,21 @@ def main():
                 (flops_iter / per_iter) / (peak * 1e12) * 100.0, 1)
             result["assumed_peak_tflops"] = peak
 
+        # Int8 serving variant (ops/quant.py): same params, dynamic AQT
+        # quantization of every ConvBlock conv; v5e int8 peak ~2x bf16.
+        try:
+            from adam_dehaze_tpu.ops.quant import quantize_apply
+            engine_q = BinnedAdaptiveEngine(
+                classifier_apply,
+                [quantize_apply(f) for f in branch_applies],
+                buckets=(bucket,))
+            per_iter_q = _time(lambda: engine_q(x, intensity=balanced)[0],
+                               iters=max(ITERS // 2, 5))
+            result["int8_ms_per_image"] = round(per_iter_q / BATCH * 1000.0, 4)
+        except Exception as e:
+            print(f"int8 variant skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
         # Single-image serving latency through lax.switch (one branch/image).
         switch_fn = jax.jit(make_adaptive_infer(
             lambda im: classifier.apply(clf_vars, im),

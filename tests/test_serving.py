@@ -61,3 +61,14 @@ def test_serving_roundtrip(experiment, rng):
     np.testing.assert_array_equal(i_sw, intensity)
     # Switch and binned paths agree (same branch per image).
     np.testing.assert_allclose(sw, hard, rtol=1e-5, atol=1e-6)
+
+
+def test_serving_stream(experiment, rng):
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32) for _ in range(3)]
+    direct = [dehazer.route_hard(b) for b in batches]
+    streamed = list(dehazer.route_hard_stream(batches))
+    assert len(streamed) == 3
+    for (yd, idir), (ys, istr) in zip(direct, streamed):
+        np.testing.assert_array_equal(idir, istr)
+        np.testing.assert_allclose(yd, ys, atol=1e-6)
