@@ -252,6 +252,94 @@ class BinnedAdaptiveEngine:
             yield self._dispatch(px, labels), labels
 
 
+def make_device_binned_infer(
+    classifier_apply: Callable,
+    branch_applies: Sequence[Callable],
+    chunk: int = 16,
+) -> Callable:
+    """Fully on-device binned adaptive routing: ONE jitted program, zero host
+    round-trips, adaptive FLOPs at `chunk` granularity.
+
+    `BinnedAdaptiveEngine` recovers the reference HardRouter's "each image
+    pays only its own branch" property (reference: routing.py:45-61) but
+    needs a device->host label sync + per-bucket dispatch each batch — on a
+    remote-tunnel runtime every dispatch costs an RTT. This engine keeps the
+    whole decision on device:
+
+      classifier -> argmax -> stable argsort by class -> lay the per-class
+      segments out at chunk-aligned offsets -> lax.scan over K static chunks,
+      each executing exactly ONE branch via lax.switch -> scatter back.
+
+    Static shapes throughout: K = ceil(N/chunk) + n_classes - 1 chunks always
+    run (sum of per-class ceils is bounded by that). Slots beyond a class's
+    true count are pad slots: they gather image 0, run whatever branch their
+    chunk is assigned, and scatter into a trash row (index N) that is sliced
+    off — so padding never corrupts results. Chunks beyond all class segments
+    are assigned class 0 (the cheapest branch) so the fixed overhead is
+    ~2*chunk low-branch images per call.
+
+    Compute overhead vs host binning: <= (n_classes-1 + 2) * chunk wasted
+    rows worst-case; zero when class counts are chunk multiples. In exchange
+    the entire batch is ONE XLA program: no label sync, no bucket-program
+    cache, and it pipelines cleanly under jit with neighbouring stages.
+
+    Returns fn(x, intensity=None) -> (dehazed, intensity, logits); jit it.
+    As with `BinnedAdaptiveEngine.__call__`, a given `intensity` overrides
+    the routing decision (oracle-routed evaluation) while the classifier
+    still runs for its logits cost — logits are returned so the classifier
+    stays live in the compiled program even when its argmax is unused.
+    """
+    n_cls = len(branch_applies)
+    branch_list = list(branch_applies)
+
+    def infer(x, intensity=None):
+        n = x.shape[0]
+        b = min(chunk, n)
+        k_chunks = -(-n // b) + (n_cls - 1)
+        logits, _ = classifier_apply(x)
+        if intensity is None:
+            intensity = jnp.argmax(logits, axis=1)
+        else:
+            intensity = jnp.asarray(intensity)
+
+        # Stable sort so results are reproducible; `order` lists image
+        # indices grouped by predicted class.
+        order = jnp.argsort(intensity, stable=True)
+        counts = jnp.sum(jax.nn.one_hot(intensity, n_cls, dtype=jnp.int32),
+                         axis=0)                      # (n_cls,) true sizes
+        padded = -(-counts // b) * b                   # chunk-aligned sizes
+        seg_start = jnp.cumsum(padded) - padded        # aligned layout
+        src_start = jnp.cumsum(counts) - counts        # offsets into `order`
+
+        slot = jnp.arange(k_chunks * b)
+        # Which class segment does each slot fall in? (n_cls+ -> clamp to 0:
+        # fully-pad tail chunks run the cheapest branch on trash rows.)
+        seg_end = seg_start + padded
+        cls_of_slot = jnp.sum(slot[:, None] >= seg_end[None, :], axis=1)
+        in_tail = cls_of_slot >= n_cls
+        cls_of_slot = jnp.where(in_tail, 0, cls_of_slot)
+        rank = slot - seg_start[cls_of_slot]
+        valid = jnp.logical_and(rank < counts[cls_of_slot], ~in_tail)
+        src = jnp.where(valid, order[jnp.clip(src_start[cls_of_slot] + rank,
+                                              0, n - 1)], 0)
+        dst = jnp.where(valid, src, n)                 # n == trash row
+        chunk_cls = cls_of_slot.reshape(k_chunks, b)[:, 0]
+
+        out0 = jnp.zeros((n + 1,) + x.shape[1:], x.dtype)
+
+        def body(out, inp):
+            src_c, dst_c, cls_c = inp
+            y = jax.lax.switch(cls_c, branch_list, jnp.take(x, src_c, axis=0))
+            return out.at[dst_c].set(y.astype(x.dtype)), None
+
+        out, _ = jax.lax.scan(
+            body, out0,
+            (src.reshape(k_chunks, b), dst.reshape(k_chunks, b), chunk_cls))
+        return out[:n], intensity, logits
+
+    return infer
+
+
 def make_adaptive_infer(
     classifier_apply: Callable,
     branch_applies: Sequence[Callable],

@@ -92,6 +92,19 @@ class AdaptiveDehazer:
         for out, intensity in self._engines["binned"].run_stream(batches):
             yield np.asarray(out), np.asarray(intensity)
 
+    def route_device_binned(self, images,
+                            chunk: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+        """Fully on-device binned hard routing: one jitted program (classify
+        + sort-binning + lax.switch chunks), zero host round-trips — the
+        high-throughput adaptive path on remote/tunneled runtimes."""
+        key = f"device_binned_{chunk}"
+        if key not in self._engines:
+            from adam_dehaze_tpu.models.routing import make_device_binned_infer
+            self._engines[key] = jax.jit(make_device_binned_infer(
+                self._classifier_apply(), self._branch_applies(), chunk=chunk))
+        out, intensity, _ = self._engines[key](jnp.asarray(images))
+        return np.asarray(out), np.asarray(intensity)
+
     def route_switch(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """Per-image lax.switch serving (lowest single-image latency)."""
         if "switch" not in self._engines:

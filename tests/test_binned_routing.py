@@ -4,7 +4,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from adam_dehaze_tpu.models.branches import LightweightDehazeModel
-from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine, make_adaptive_infer
+from adam_dehaze_tpu.models.routing import (
+    BinnedAdaptiveEngine,
+    make_adaptive_infer,
+    make_device_binned_infer,
+)
 
 
 def _setup(key, batch=7):
@@ -77,3 +81,50 @@ def test_run_stream_matches_call(key):
     for (yd, _), (ys, lab), want in zip(direct_o, streamed_o, oracle):
         np.testing.assert_array_equal(lab, want)
         np.testing.assert_allclose(np.asarray(yd), np.asarray(ys), atol=1e-6)
+
+@pytest.mark.parametrize("batch,chunk", [(7, 2), (12, 4), (3, 8), (9, 3)])
+def test_device_binned_equals_select(key, batch, chunk):
+    """The single-program on-device binning == hard one-hot select, for
+    mixed-class traffic, across batch/chunk shapes (incl. batch < chunk and
+    non-multiple batches)."""
+    classifier, applies, x = _setup(key, batch=batch)
+    fn = jax.jit(make_device_binned_infer(classifier, applies, chunk=chunk))
+    y, intensity, _ = fn(x)
+    select = jax.jit(make_adaptive_infer(classifier, applies, "select"))
+    y_sel, i_sel = select(x)
+    np.testing.assert_array_equal(np.asarray(intensity), np.asarray(i_sel))
+    if batch >= 7:
+        assert len(np.unique(np.asarray(intensity))) >= 2
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_sel),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_device_binned_single_class(key):
+    """All-one-class traffic: every chunk takes the same switch arm; pad
+    chunks must not corrupt any real row."""
+    classifier, applies, x = _setup(key, batch=5)
+
+    def all_high(img):
+        n = img.shape[0]
+        return jnp.tile(jnp.array([[0.0, 0.0, 10.0]]), (n, 1)), None
+
+    fn = jax.jit(make_device_binned_infer(all_high, applies, chunk=2))
+    y, intensity, _ = fn(x)
+    assert (np.asarray(intensity) == 2).all()
+    np.testing.assert_allclose(np.asarray(y), np.asarray(applies[2](x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_device_binned_oracle_override(key):
+    """Given labels override the classifier's argmax (oracle-routed eval),
+    matching the host engine's override semantics."""
+    classifier, applies, x = _setup(key, batch=6)
+    oracle = jnp.array([2, 2, 0, 1, 2, 0])
+    fn = jax.jit(make_device_binned_infer(classifier, applies, chunk=2))
+    y, intensity, logits = fn(x, oracle)
+    np.testing.assert_array_equal(np.asarray(intensity), np.asarray(oracle))
+    assert logits.shape == (6, 3)
+    host = BinnedAdaptiveEngine(classifier, applies, buckets=(2, 4))
+    y_host, _ = host(x, intensity=np.asarray(oracle))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_host),
+                               rtol=1e-5, atol=1e-6)

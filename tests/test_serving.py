@@ -62,6 +62,10 @@ def test_serving_roundtrip(experiment, rng):
     # Switch and binned paths agree (same branch per image).
     np.testing.assert_allclose(sw, hard, rtol=1e-5, atol=1e-6)
 
+    dev, i_dev = dehazer.route_device_binned(images, chunk=2)
+    np.testing.assert_array_equal(i_dev, intensity)
+    np.testing.assert_allclose(dev, hard, rtol=1e-5, atol=1e-6)
+
 
 def test_serving_stream(experiment, rng):
     dehazer = AdaptiveDehazer.from_experiment(experiment)
