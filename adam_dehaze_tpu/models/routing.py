@@ -340,6 +340,36 @@ def make_device_binned_infer(
     return infer
 
 
+def make_sharded_binned_infer(
+    classifier_apply: Callable,
+    branch_applies: Sequence[Callable],
+    mesh,
+    chunk: int = 16,
+    axis: str = "data",
+) -> Callable:
+    """Multi-chip serving: the on-device binned engine under shard_map over a
+    data mesh. Each device classifies, sorts, and switch-dispatches ITS OWN
+    batch shard — binning stays device-local, so scaling adds zero collectives
+    to the serving path (no global sort, no all-gather; ICI is untouched).
+
+    Params are closed over (replicated); the global batch must divide the
+    'data' axis size. Returns fn(x) -> (dehazed, intensity, logits), jitted.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    local = make_device_binned_infer(classifier_apply, branch_applies,
+                                     chunk=chunk)
+    spec = P(axis)
+    fn = jax.shard_map(lambda xs: local(xs), mesh=mesh,
+                       in_specs=(spec,), out_specs=(spec, spec, spec),
+                       check_vma=False)
+    return jax.jit(
+        fn,
+        in_shardings=(NamedSharding(mesh, spec),),
+        out_shardings=(NamedSharding(mesh, spec),) * 3,
+    )
+
+
 def make_adaptive_infer(
     classifier_apply: Callable,
     branch_applies: Sequence[Callable],

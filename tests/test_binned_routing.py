@@ -128,3 +128,24 @@ def test_device_binned_oracle_override(key):
     y_host, _ = host(x, intensity=np.asarray(oracle))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_host),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_binned_matches_select(key):
+    """Device-binned engine under shard_map on an 8-device data mesh: per-
+    device local binning routes every image through its argmax branch —
+    exactly the hard-select semantics, zero collectives added."""
+    from adam_dehaze_tpu.models.routing import make_sharded_binned_infer
+    from adam_dehaze_tpu.parallel.mesh import make_mesh
+
+    classifier, applies, x = _setup(key, batch=16)
+    mesh = make_mesh({"data": 8, "spatial": 1, "model": 1})
+    mesh = jax.sharding.Mesh(mesh.devices.reshape(8), ("data",))
+    fn = make_sharded_binned_infer(classifier, applies, mesh, chunk=2)
+    y, intensity, logits = fn(x)
+    select = jax.jit(make_adaptive_infer(classifier, applies, "select"))
+    y_sel, i_sel = select(x)
+    np.testing.assert_array_equal(np.asarray(intensity), np.asarray(i_sel))
+    assert len(np.unique(np.asarray(intensity))) >= 2
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_sel),
+                               rtol=1e-5, atol=1e-6)
+    assert logits.shape == (16, 3)
