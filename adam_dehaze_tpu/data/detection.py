@@ -27,7 +27,15 @@ class DetectionDataset:
     intensity}."""
 
     def __init__(self, root_dir: str, annotation_dir: str, split: str = "test",
-                 img_size: int = 512, max_boxes: int = 64):
+                 img_size: int = 512, max_boxes: int = 64,
+                 image_source: str = "hazy"):
+        """image_source: which triplet member to feed the detector. "hazy" for
+        evaluation (the degraded input the system sees); "clear" for detector
+        fine-tuning — the reference's detector is COCO-pretrained on natural
+        clean images (reference: models/detection.py:23-51), so the TPU
+        analogue trains on clean frames and haze is then out-of-distribution
+        (that is what the dehazed-vs-hazy mAP comparison measures). Falls back
+        per-image to hazy when a clear counterpart doesn't exist."""
         self.root_dir = os.path.join(root_dir, split)
         self.annotation_dir = annotation_dir
         self.img_size = img_size
@@ -44,12 +52,19 @@ class DetectionDataset:
                 ann = os.path.join(self.annotation_dir, f"{base}.json")
                 if not os.path.exists(ann):
                     ann = os.path.join(self.annotation_dir, "instances.json")
-                if os.path.exists(ann):
-                    self.samples.append({
-                        "hazy": os.path.join(hazy_dir, name),
-                        "annotation": ann, "name": name,
-                        "intensity": intensity,
-                    })
+                if not os.path.exists(ann):
+                    continue
+                path = os.path.join(hazy_dir, name)
+                if image_source == "clear":
+                    clear = os.path.join(self.root_dir, intensity, "clear",
+                                         name)
+                    if os.path.exists(clear):
+                        path = clear
+                self.samples.append({
+                    "hazy": path,
+                    "annotation": ann, "name": name,
+                    "intensity": intensity,
+                })
         print(f"Loaded {len(self.samples)} samples for detection evaluation")
 
     def __len__(self):
@@ -100,7 +115,8 @@ class DetectionDataset:
 
 
 def get_detection_dataloader(config, split: str = "test",
-                             img_size: int = 512) -> DataLoader:
+                             img_size: int = 512,
+                             image_source: str = "hazy") -> DataLoader:
     """(reference: data/dataset.py:251-267; 512 is its fixed detection
     resolution, overridable here)"""
     key = {"train": "train_path", "val": "val_path"}.get(split, "test_path")
@@ -110,6 +126,7 @@ def get_detection_dataloader(config, split: str = "test",
         annotation_dir=os.path.join(root, "annotations"),
         split=split,
         img_size=img_size,
+        image_source=image_source,
     )
     return DataLoader(
         ds, batch_size=max(config["dataset"]["batch_size"] // 2, 1),

@@ -209,10 +209,12 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
                    image_size=config["dataset"]["img_size"])
     det_best = ckpt.best_model_path(config["detection"]["checkpoint_dir"])
     if os.path.isdir(det_best):
-        tree, _ = ckpt.load_checkpoint(
-            det_best, {"params": det_model.variables["params"],
-                       "batch_stats": det_model.variables["batch_stats"]})
-        det_model.variables = tree
+        # The trainer saves the FULL train state (step/params/batch_stats/
+        # opt_state, train_detection.py:189); restore untargeted and take the
+        # inference subset so the on-disk tree's extra keys don't mismatch.
+        tree, _ = ckpt.load_checkpoint(det_best)
+        det_model.variables = {"params": tree["params"],
+                               "batch_stats": tree["batch_stats"]}
         print(f"Loaded trained detector from {det_best}")
     else:
         print("WARNING: no trained detector checkpoint — mAP numbers will be "

@@ -168,10 +168,15 @@ def train_detection(config, epochs: int = None, resume: bool = False,
                        batch_stats=variables["batch_stats"],
                        opt_state=tx.init(variables["params"]))
 
-    # Train on the train split; evaluation happens on test via
+    # Train on the train split's CLEAR frames; evaluation happens on test via
     # evaluate_object_detection (training on the eval split would make the
-    # hazy-vs-dehazed mAP comparison overfitting-flattered).
-    loader = get_detection_dataloader(config, split="train", img_size=img_size)
+    # hazy-vs-dehazed mAP comparison overfitting-flattered). Clear frames
+    # mirror the reference's COCO-pretrained clean-image detector
+    # (reference: models/detection.py:23-51): haze degrades a clean-trained
+    # detector, and dehazing should recover mAP — training on hazy frames
+    # would instead make haze in-distribution and invert the comparison.
+    loader = get_detection_dataloader(config, split="train", img_size=img_size,
+                                      image_source="clear")
     step = make_detection_train_step(det.module, tx)
     logger = MetricsLogger(os.path.join(config.get("_logs_dir", "logs"),
                                         "detection"))

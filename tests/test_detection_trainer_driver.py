@@ -43,3 +43,22 @@ def test_train_detection_driver(det_root, tmp_path):
     import jax.numpy as jnp
     results = det(jnp.zeros((1, 64, 64, 3)))
     assert set(results[0]) == {"boxes", "scores", "labels"}
+
+    # Regression: the evaluator restores the trainer's FULL train-state tree
+    # (step/params/batch_stats/opt_state) untargeted and takes the inference
+    # subset — a {params, batch_stats} target mismatches orbax's on-disk
+    # structure (evaluate.py:211-219).
+    from adam_dehaze_tpu.models.detection import create_detection_model
+    from adam_dehaze_tpu.training import checkpoint as ckpt
+
+    best = ckpt.best_model_path(cfg["detection"]["checkpoint_dir"])
+    tree, _ = ckpt.load_checkpoint(best)
+    assert {"params", "batch_stats"} <= set(tree)
+    import jax
+
+    det2 = create_detection_model(cfg)
+    det2.init(jax.random.PRNGKey(1), image_size=64)
+    det2.variables = {"params": tree["params"],
+                      "batch_stats": tree["batch_stats"]}
+    results2 = det2(jnp.zeros((1, 64, 64, 3)))
+    assert set(results2[0]) == {"boxes", "scores", "labels"}
