@@ -120,11 +120,65 @@ class AttentionBlock(nn.Module):
         return x * jax.nn.sigmoid(gate)
 
 
-class UpBlock(nn.Module):
-    """ConvTranspose(4x4, stride 2, pad 1) -> BN -> ReLU: exact 2x upsample
-    (reference: base_model.py:144-149)."""
+class _SubpixelConvTranspose4x4(nn.Module):
+    """Exact sub-pixel rewrite of ConvTranspose(4x4, stride 2, lax pad (2,2)).
+
+    XLA lowers a stride-2 transposed conv to a conv over the 2x-input-dilated
+    activation: >=75% of the MACs multiply inserted zeros, so the op runs far
+    below MXU peak. Algebraically, each of the 4 output phases (a, b in
+    {0, 1}) is a stride-1 2x2 correlation of the raw input:
+
+        y[2m+a, 2n+b] = sum_{i,j} W[2i+1-a, 2j+1-b] . x[m+i, n+j]
+
+    so the whole op is ONE dense conv with a (2, 2, cin, 4*cout) kernel
+    (phase sub-kernels W[a::2, b::2]; flax's ConvTranspose applies the
+    FLIPPED kernel, verified by impulse response) over the (1,1)-padded
+    input, followed by per-phase shifted slices and a pixel-shuffle
+    rearrange — identical output, 4x fewer MACs issued, MXU-friendly
+    contraction (4*cin). Param tree matches nn.ConvTranspose exactly
+    (kernel (4, 4, cin, cout) + bias), so checkpoints and the torch
+    converters are unaffected.
+    """
     features: int
     dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (4, 4, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        # y[2p+a, 2q+b] = sum_{i,j} W[2i+a, 2j+b] . xpad[p+i+a? ...] — the
+        # a=0 phase windows (x[p-1], x[p]) and a=1 windows (x[p], x[p+1])
+        # are both 2-tap windows of the (1,1)-padded input at starts p and
+        # p+1, so one conv over the padded input covers all four phases.
+        phases = [w[a::2, b::2] for a in (0, 1) for b in (0, 1)]
+        k2 = jnp.concatenate(phases, axis=-1)          # (2, 2, cin, 4*cout)
+        yb = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k2.astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (n, h+1, w+1, 4c)
+        n, h, wd = x.shape[:3]
+        co = self.features
+        ph = [yb[:, a:a + h, b:b + wd, i * co:(i + 1) * co]
+              for i, (a, b) in enumerate(
+                  ((0, 0), (0, 1), (1, 0), (1, 1)))]
+        y = jnp.stack(ph, axis=3).reshape(n, h, wd, 2, 2, co)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, co)
+        return y + b.astype(self.dtype)
+
+
+class UpBlock(nn.Module):
+    """ConvTranspose(4x4, stride 2, pad 1) -> BN -> ReLU: exact 2x upsample
+    (reference: base_model.py:144-149).
+
+    `subpixel=True` (default) computes the transposed conv via the exact
+    sub-pixel decomposition above; `False` keeps the literal
+    nn.ConvTranspose lowering (equivalence is regression-tested)."""
+    features: int
+    dtype: Dtype = jnp.float32
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,10 +186,14 @@ class UpBlock(nn.Module):
         # ConvTranspose2d(kernel=4, stride=2, padding=1): exact 2x upsample.
         # Bias kept despite the following BN for exact param parity with
         # torch ConvTranspose2d defaults (reference: base_model.py:146).
-        x = nn.ConvTranspose(
-            self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-            use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
-        )(x)
+        if self.subpixel:
+            x = _SubpixelConvTranspose4x4(
+                self.features, dtype=self.dtype, name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+                use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
         return nn.relu(x)

@@ -165,13 +165,23 @@ def main():
         xb = x[:bucket]
         flops_iter = _flops_of(engine.classifier_apply, x) + sum(
             _flops_of(f, xb) for f in engine.branch_applies)
-        if flops_iter > 0:
-            peak = _peak_tflops()
-            result["measured_gflops_per_image"] = round(
-                flops_iter / BATCH / 1e9, 1)
-            result["mfu_pct"] = round(
-                (flops_iter / per_iter) / (peak * 1e12) * 100.0, 1)
-            result["assumed_peak_tflops"] = peak
+        result["flops_source"] = "xla_cost_analysis"
+        if flops_iter <= 0:
+            # cost_analysis is unavailable on the axon remote backend — fall
+            # back to the CPU-measured XLA cost-analysis constants recorded
+            # in PARITY.md (256², per image: classifier 4.4 G + balanced
+            # branch mix), so the MFU trend line survives the backend.
+            _GFLOPS = {"classifier": 4.4, "low": 8.7, "medium": 110.9,
+                       "high": 249.2}
+            per_image = _GFLOPS["classifier"] + (
+                _GFLOPS["low"] + _GFLOPS["medium"] + _GFLOPS["high"]) / 3.0
+            flops_iter = per_image * 1e9 * BATCH
+            result["flops_source"] = "parity_constants"
+        peak = _peak_tflops()
+        result["measured_gflops_per_image"] = round(flops_iter / BATCH / 1e9, 1)
+        result["mfu_pct"] = round(
+            (flops_iter / per_iter) / (peak * 1e12) * 100.0, 1)
+        result["assumed_peak_tflops"] = peak
 
         # Int8 serving variant (ops/quant.py): same params, dynamic AQT
         # quantization of every ConvBlock conv; v5e int8 peak ~2x bf16.

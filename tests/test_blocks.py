@@ -68,3 +68,36 @@ def test_resize_bilinear(key):
     y = resize_bilinear(x, (16, 16))
     assert y.shape == (1, 16, 16, 3)
     np.testing.assert_allclose(float(y.mean()), float(x.mean()), atol=0.05)
+
+
+def test_upblock_subpixel_equals_convtranspose(key):
+    """The sub-pixel rewrite of ConvTranspose(4,4,s2,p1) is numerically
+    identical to the literal flax lowering: same param tree, same forward
+    (eval AND train/BN-stats), same gradients."""
+    from adam_dehaze_tpu.nn.blocks import UpBlock
+
+    x = jax.random.uniform(key, (2, 9, 11, 5), jnp.float32)
+    ref = UpBlock(7, subpixel=False)
+    fast = UpBlock(7, subpixel=True)
+    vref = ref.init(key, x, False)
+    assert (jax.tree_util.tree_structure(vref)
+            == jax.tree_util.tree_structure(fast.init(key, x, False)))
+
+    y_ref = ref.apply(vref, x, False)
+    y_fast = fast.apply(vref, x, False)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fast),
+                               atol=1e-5)
+
+    yt_ref, m_ref = ref.apply(vref, x, True, mutable=["batch_stats"])
+    yt_fast, m_fast = fast.apply(vref, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yt_ref), np.asarray(yt_fast),
+                               atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(m_ref),
+                    jax.tree_util.tree_leaves(m_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    g_ref = jax.grad(lambda v: (ref.apply(v, x, False) ** 2).sum())(vref)
+    g_fast = jax.grad(lambda v: (fast.apply(v, x, False) ** 2).sum())(vref)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
