@@ -56,15 +56,24 @@ def _peak_tflops() -> float:
     return 197.0
 
 
+def _sync(out):
+    """Materialise a scalar from the output. On the axon remote backend,
+    block_until_ready alone does not reliably force execution of pure-jit
+    call chains until a value has been fetched; a device->host scalar read
+    is the dependable sync (see tools/profile_branches.py)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def _time(fn, iters=ITERS, warmup=WARMUP):
     out = None
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     start = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - start) / iters
 
 
@@ -205,16 +214,16 @@ def main():
              for n in ("low", "medium", "high")],
             mode="switch"))
         x1 = x[:1]
-        jax.block_until_ready(switch_fn(x1))
+        _sync(switch_fn(x1))
         lat = []
         for _ in range(SINGLE_CALLS):
             t0 = time.perf_counter()
-            jax.block_until_ready(switch_fn(x1))
+            _sync(switch_fn(x1))  # blocking = result actually fetched
             lat.append((time.perf_counter() - t0) * 1000.0)
         result["single_image_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
         t0 = time.perf_counter()
         outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
-        jax.block_until_ready(outs)
+        _sync(outs[-1])
         result["single_image_streamed_ms"] = round(
             (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
     except Exception as e:  # never lose the benchmark round entirely

@@ -36,15 +36,24 @@ def peak_tflops() -> float:
     return 197.0
 
 
+def _fetch(out):
+    """Materialise a scalar from the output. On the axon remote backend,
+    block_until_ready alone does NOT force execution until a value has been
+    fetched (verified empirically: pure-jit loops timed ~0.1 ms for 4-TFLOP
+    programs); a device->host scalar read is the only reliable sync."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timeit(fn, *args, iters=20, warmup=3):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / iters
 
 
