@@ -275,13 +275,16 @@ def make_device_binned_infer(
     true count are pad slots: they gather image 0, run whatever branch their
     chunk is assigned, and scatter into a trash row (index N) that is sliced
     off — so padding never corrupts results. Chunks beyond all class segments
-    are assigned class 0 (the cheapest branch) so the fixed overhead is
-    ~2*chunk low-branch images per call.
+    run a zero-FLOP no-op branch (profiling showed the "cheapest" branch is
+    NOT cheap in wall time: the c=32 low branch is layout-bound at ~1.2
+    ms/image, so tail chunks routed there cost ~2 * chunk * 1.2 ms/batch —
+    benchmarks/profile_branches.json).
 
-    Compute overhead vs host binning: <= (n_classes-1 + 2) * chunk wasted
-    rows worst-case; zero when class counts are chunk multiples. In exchange
-    the entire batch is ONE XLA program: no label sync, no bucket-program
-    cache, and it pipelines cleanly under jit with neighbouring stages.
+    Compute overhead vs host binning: <= (n_classes-1) * chunk wasted rows
+    worst-case (partially-filled real chunks); zero when class counts are
+    chunk multiples. In exchange the entire batch is ONE XLA program: no
+    label sync, no bucket-program cache, and it pipelines cleanly under jit
+    with neighbouring stages.
 
     Returns fn(x, intensity=None) -> (dehazed, intensity, logits); jit it.
     As with `BinnedAdaptiveEngine.__call__`, a given `intensity` overrides
@@ -312,24 +315,27 @@ def make_device_binned_infer(
         src_start = jnp.cumsum(counts) - counts        # offsets into `order`
 
         slot = jnp.arange(k_chunks * b)
-        # Which class segment does each slot fall in? (n_cls+ -> clamp to 0:
-        # fully-pad tail chunks run the cheapest branch on trash rows.)
+        # Which class segment does each slot fall in? (index n_cls == the
+        # zero-FLOP no-op branch for fully-pad tail chunks.)
         seg_end = seg_start + padded
         cls_of_slot = jnp.sum(slot[:, None] >= seg_end[None, :], axis=1)
         in_tail = cls_of_slot >= n_cls
-        cls_of_slot = jnp.where(in_tail, 0, cls_of_slot)
-        rank = slot - seg_start[cls_of_slot]
-        valid = jnp.logical_and(rank < counts[cls_of_slot], ~in_tail)
-        src = jnp.where(valid, order[jnp.clip(src_start[cls_of_slot] + rank,
+        cls_of_slot = jnp.where(in_tail, n_cls, cls_of_slot)
+        safe_cls = jnp.where(in_tail, 0, cls_of_slot)  # for table lookups
+        rank = slot - seg_start[safe_cls]
+        valid = jnp.logical_and(rank < counts[safe_cls], ~in_tail)
+        src = jnp.where(valid, order[jnp.clip(src_start[safe_cls] + rank,
                                               0, n - 1)], 0)
         dst = jnp.where(valid, src, n)                 # n == trash row
         chunk_cls = cls_of_slot.reshape(k_chunks, b)[:, 0]
 
         out0 = jnp.zeros((n + 1,) + x.shape[1:], x.dtype)
+        noop = [lambda img: jnp.zeros(img.shape, img.dtype)]
 
         def body(out, inp):
             src_c, dst_c, cls_c = inp
-            y = jax.lax.switch(cls_c, branch_list, jnp.take(x, src_c, axis=0))
+            y = jax.lax.switch(cls_c, branch_list + noop,
+                               jnp.take(x, src_c, axis=0))
             return out.at[dst_c].set(y.astype(x.dtype)), None
 
         out, _ = jax.lax.scan(

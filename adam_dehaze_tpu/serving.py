@@ -52,15 +52,21 @@ class AdaptiveDehazer:
 
     def _branch_applies(self):
         from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+        from adam_dehaze_tpu.ops.s2d import make_serving_apply
         quant = self.config.get("tpu", {}).get("serving_quant") or None
+        dtype = (jnp.bfloat16 if self.config.get("tpu", {}).get(
+            "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32)
         fns = []
         for level in INTENSITY_ORDER:
             sub = {"params": self._variables["params"][f"models_{level}"],
                    "batch_stats": self._variables["batch_stats"][f"models_{level}"]}
             module = self.router.models[level]
-            fn = lambda x, m=module, v=sub: m.apply(v, x)
+            # Lane-aligned s2d serving path for the small-channel low branch
+            # (exact; ops/s2d.py), canonical apply otherwise.
+            fn = make_serving_apply(module, sub, dtype=dtype)
             if quant == "int8":
                 from adam_dehaze_tpu.ops.quant import quantize_apply
+                fn = (lambda x, m=module, v=sub: m.apply(v, x))
                 fn = quantize_apply(fn)
             fns.append(fn)
         return fns

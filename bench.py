@@ -113,12 +113,17 @@ def main():
     branch_vars = {n: m.init(jax.random.PRNGKey(i), dummy)
                    for i, (n, m) in enumerate(branches.items())}
 
+    from adam_dehaze_tpu.ops.s2d import make_serving_apply
+    serving_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
     classifier_apply = jax.jit(lambda x: classifier.apply(clf_vars, x))
-    branch_applies = [
-        (lambda v, m: jax.jit(lambda img: m.apply(v, img)))(
-            branch_vars[n], branches[n])
+    # make_serving_apply: exact lane-aligned s2d path for the c=32 low
+    # branch (ops/s2d.py; ~6x on v5e), canonical apply for medium/high.
+    serving_applies = [
+        make_serving_apply(branches[n], branch_vars[n], dtype=serving_dtype)
         for n in ("low", "medium", "high")
     ]
+    branch_applies = [jax.jit(f) for f in serving_applies]
     bucket = BATCH // 3
     engine = BinnedAdaptiveEngine(classifier_apply, branch_applies,
                                   buckets=(bucket,))
@@ -142,9 +147,7 @@ def main():
         try:
             dev_fn = jax.jit(make_device_binned_infer(
                 lambda im: classifier.apply(clf_vars, im),
-                [lambda im, v=branch_vars[n], m=branches[n]: m.apply(v, im)
-                 for n in ("low", "medium", "high")],
-                chunk=bucket))
+                serving_applies, chunk=bucket))
             balanced_dev = jnp.asarray(balanced)
             per_iter_dev = _time(lambda: dev_fn(x, balanced_dev)[0])
             result["device_binned_ms_per_image"] = round(
@@ -194,11 +197,16 @@ def main():
 
         # Int8 serving variant (ops/quant.py): same params, dynamic AQT
         # quantization of every ConvBlock conv; v5e int8 peak ~2x bf16.
+        # NOTE: must wrap the RAW (unjitted) applies — wrapping an
+        # already-jitted fn reuses its cached bf16 executable and silently
+        # measures the wrong thing.
         try:
             from adam_dehaze_tpu.ops.quant import quantize_apply
             engine_q = BinnedAdaptiveEngine(
                 classifier_apply,
-                [quantize_apply(f) for f in branch_applies],
+                [quantize_apply(
+                    lambda im, v=branch_vars[n], m=branches[n]: m.apply(v, im))
+                 for n in ("low", "medium", "high")],
                 buckets=(bucket,))
             per_iter_q = _time(lambda: engine_q(x, intensity=balanced)[0],
                                iters=max(ITERS // 2, 5))
@@ -210,9 +218,7 @@ def main():
         # Single-image serving latency through lax.switch (one branch/image).
         switch_fn = jax.jit(make_adaptive_infer(
             lambda im: classifier.apply(clf_vars, im),
-            [lambda im, v=branch_vars[n], m=branches[n]: m.apply(v, im)
-             for n in ("low", "medium", "high")],
-            mode="switch"))
+            serving_applies, mode="switch"))
         x1 = x[:1]
         _sync(switch_fn(x1))
         lat = []

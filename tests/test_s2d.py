@@ -1,0 +1,103 @@
+"""Space-to-depth serving transform (ops/s2d.py): exactness vs the canonical
+flax modules, and the serving/engine wiring."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adam_dehaze_tpu.ops.s2d import (
+    depth_to_space,
+    make_lightweight_s2d_apply,
+    make_serving_apply,
+    s2d_conv3x3,
+    s2d_conv3x3_kernel,
+    space_to_depth,
+)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_s2d_roundtrip(key):
+    x = jax.random.uniform(key, (2, 8, 12, 5))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
+
+
+def test_s2d_conv_equals_conv3x3(key):
+    """s2d(conv3x3_p1(x, W)) == s2d_conv(s2d(x), T(W)) exactly."""
+    x = jax.random.uniform(key, (2, 16, 20, 5), jnp.float32)
+    w = jax.random.normal(key, (3, 3, 5, 7), jnp.float32) * 0.2
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = depth_to_space(s2d_conv3x3(space_to_depth(x),
+                                     s2d_conv3x3_kernel(w), 7))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_lightweight_s2d_apply_exact(key):
+    """The full folded-BN s2d serving path reproduces the canonical
+    eval-mode forward of the low branch."""
+    from adam_dehaze_tpu.models.branches import LightweightDehazeModel
+
+    m = LightweightDehazeModel(base_channels=32, n_blocks=3,
+                               dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32)
+    vs = m.init(key, x, False)
+    # Perturb running stats so the BN fold is non-trivial.
+    bs = jax.tree_util.tree_map(
+        lambda a: a + jax.random.uniform(jax.random.PRNGKey(2), a.shape) * 0.3,
+        vs["batch_stats"])
+    vs = {"params": vs["params"], "batch_stats": bs}
+
+    y_ref = m.apply(vs, x, False)
+    y_fast = make_lightweight_s2d_apply(vs, dtype=jnp.float32)(x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fast),
+                               atol=1e-5)
+
+
+def test_make_serving_apply_dispatch(key):
+    """Factory picks s2d for the lightweight low branch and the canonical
+    apply for other models — outputs match the flax forward either way."""
+    from adam_dehaze_tpu.models.branches import (
+        LightweightDehazeModel,
+        MediumIntensityDehazeModel,
+    )
+
+    x = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+    for cls in (LightweightDehazeModel, MediumIntensityDehazeModel):
+        m = cls(dtype=jnp.float32)
+        vs = m.init(key, x, False)
+        fn = make_serving_apply(m, vs, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(m.apply(vs, x, False)),
+                                   np.asarray(fn(x)), atol=1e-5)
+
+
+def test_device_binned_with_s2d_applies(key):
+    """The on-device binned engine with s2d serving applies matches the
+    per-image branch forward (its no-op tail chunks never leak)."""
+    from adam_dehaze_tpu.models.branches import LightweightDehazeModel
+    from adam_dehaze_tpu.models.routing import make_device_binned_infer
+
+    n = 10
+    x = jax.random.uniform(key, (n, 16, 16, 3), jnp.float32)
+    models = [LightweightDehazeModel(base_channels=8, n_blocks=1,
+                                     dtype=jnp.float32) for _ in range(3)]
+    varss = [m.init(jax.random.PRNGKey(i), x, False)
+             for i, m in enumerate(models)]
+    applies = [make_serving_apply(m, v, dtype=jnp.float32)
+               for m, v in zip(models, varss)]
+
+    def clf(img):  # deterministic synthetic logits
+        s = jnp.mean(img, axis=(1, 2, 3))
+        return jnp.stack([s, s * 2, 1.0 - s], axis=1), None
+
+    infer = jax.jit(make_device_binned_infer(clf, applies, chunk=4))
+    dehazed, intensity, _ = infer(x)
+    for i in range(n):
+        expect = applies[int(intensity[i])](x[i:i + 1])[0]
+        np.testing.assert_allclose(np.asarray(dehazed[i]), np.asarray(expect),
+                                   atol=1e-5)
