@@ -54,38 +54,70 @@ def depth_to_space(y: jax.Array) -> jax.Array:
     return y.reshape(n, 2 * h2, 2 * w2, c)
 
 
-def s2d_conv3x3_kernel(w: jax.Array) -> jax.Array:
-    """Transform a (3, 3, cin, cout) kernel into the structured
-    (2, 2, 4*cin, 4*cout) s2d kernel (see module docstring)."""
+def _s2d_meta(k: int):
+    """Window geometry for an odd-k stride-1 'same' conv in the s2d domain:
+    (window_size W2, pad_lo, pad_hi, per-phase output slice offsets)."""
+    pad = (k - 1) // 2
+    starts, ends = [], []
+    for a in (0, 1):
+        ps = []
+        for i in range(k):
+            r = a + i - pad
+            al = r % 2
+            ps.append((r - al) // 2)
+        starts.append(min(ps))
+        ends.append(max(ps))
+    w2 = max(e - s + 1 for s, e in zip(starts, ends))
+    pad_lo = -starts[0]
+    pad_hi = starts[1] + w2 - 1
+    offs = [s + pad_lo for s in starts]
+    return w2, pad_lo, pad_hi, offs
+
+
+def s2d_conv_kernel(w: jax.Array) -> jax.Array:
+    """Transform an odd-k (k, k, cin, cout) stride-1 'same' kernel into the
+    structured (W2, W2, 4*cin, 4*cout) s2d kernel. Tap mapping per
+    dimension: output phase a, window offset u, input phase alpha select
+    raw tap i = 2*(u - pad_lo) + a + alpha + (k-1)//2 ... computed via the
+    same (r -> p, alpha) decomposition as `_s2d_meta`; out-of-range taps are
+    zero (gathered from a zero-padded kernel row/col)."""
+    k = w.shape[0]
     ci, co = w.shape[2], w.shape[3]
-    k = jnp.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
-    for u in (0, 1):
-        for v in (0, 1):
-            for a in (0, 1):
-                for b in (0, 1):
-                    for al in (0, 1):
-                        for be in (0, 1):
-                            i = 2 * u + a + al - 1
-                            j = 2 * v + b + be - 1
-                            if 0 <= i <= 2 and 0 <= j <= 2:
-                                gi = (al * 2 + be) * ci
-                                go = (a * 2 + b) * co
-                                k = k.at[u, v, gi:gi + ci, go:go + co].set(
-                                    w[i, j])
-    return k
+    w2, pad_lo, _, _ = _s2d_meta(k)
+    pad_k = (k - 1) // 2
+    starts = [-pad_lo, _s2d_meta(k)[3][1] - pad_lo]
+    # idx[u, a, alpha] -> raw tap i in [0, k-1], or k for the zero slot.
+    idx = np.full((w2, 2, 2), k, np.int32)
+    for a in (0, 1):
+        for i in range(k):
+            r = a + i - pad_k
+            al = r % 2
+            p = (r - al) // 2
+            u = p - starts[a]
+            idx[u, a, al] = i
+    wpad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero slot at k
+    ii = jnp.asarray(idx)  # (w2, 2, 2)
+    # K'[u, a, al, v, b, be, ci, co]
+    kk = wpad[ii[:, :, :, None, None, None], ii[None, None, None, :, :, :]]
+    # -> (u, v, al, be, ci, a, b, co) -> (w2, w2, 4ci, 4co)
+    kk = kk.transpose(0, 3, 2, 5, 6, 1, 4, 7)
+    return kk.reshape(w2, w2, 4 * ci, 4 * co)
 
 
-def s2d_conv3x3(x2: jax.Array, k2: jax.Array, cout: int,
-                shift: Optional[jax.Array] = None,
-                relu: bool = False) -> jax.Array:
-    """Apply a transformed s2d kernel (from `s2d_conv3x3_kernel`) to an s2d
+def s2d_conv(x2: jax.Array, k2: jax.Array, cout: int, k: int = 3,
+             shift: Optional[jax.Array] = None,
+             relu: bool = False) -> jax.Array:
+    """Apply a transformed s2d kernel (from `s2d_conv_kernel`) to an s2d
     activation. `shift` is a per-original-channel (cout,) bias/BN shift,
     broadcast over the 4 phases. Returns (N, H2, W2, 4*cout)."""
-    n, h2, w2, _ = x2.shape
+    n, h2, w2d, _ = x2.shape
+    _, pad_lo, pad_hi, offs = _s2d_meta(k)
     yb = jax.lax.conv_general_dilated(
-        x2, k2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (n, h2+1, w2+1, 4co)
-    groups = [yb[:, a:a + h2, b:b + w2, (a * 2 + b) * cout:(a * 2 + b + 1) * cout]
+        x2, k2, window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    groups = [yb[:, offs[a]:offs[a] + h2, offs[b]:offs[b] + w2d,
+                 (a * 2 + b) * cout:(a * 2 + b + 1) * cout]
               for a in (0, 1) for b in (0, 1)]
     y = jnp.concatenate(groups, axis=-1)
     if shift is not None:
@@ -93,6 +125,113 @@ def s2d_conv3x3(x2: jax.Array, k2: jax.Array, cout: int,
     if relu:
         y = jax.nn.relu(y)
     return y
+
+
+def s2d_conv3x3_kernel(w: jax.Array) -> jax.Array:
+    """(3, 3, cin, cout) -> (2, 2, 4*cin, 4*cout) (see `s2d_conv_kernel`)."""
+    return s2d_conv_kernel(w)
+
+
+def s2d_conv3x3(x2, k2, cout, shift=None, relu=False):
+    return s2d_conv(x2, k2, cout, k=3, shift=shift, relu=relu)
+
+
+def s2d_down4_kernel(w: jax.Array) -> jax.Array:
+    """Transform a (4, 4, cin, cout) stride-2 pad-1 downsampling kernel into
+    a (3, 3, 4*cin, cout) stride-1 s2d kernel. The stride-2 output grid IS
+    the s2d grid, so the result leaves the s2d domain (plain cout channels):
+    y[m] = sum_t x[2m + t - 1] . W[t], raw rows 2m-1..2m+2 span s2d rows
+    m-1..m+1; tap t = 2*(u-1) + alpha + 1."""
+    ci, co = w.shape[2], w.shape[3]
+    idx = np.full((3, 2), 4, np.int32)  # 4 == zero slot
+    for u in range(3):
+        for al in (0, 1):
+            t = 2 * u + al - 1
+            if 0 <= t <= 3:
+                idx[u, al] = t
+    wpad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    ii = jnp.asarray(idx)  # (3, 2)
+    kk = wpad[ii[:, :, None, None], ii[None, None, :, :]]
+    # (u, al, v, be, ci, co) -> (u, v, al, be, ci, co) -> (3, 3, 4ci, co)
+    kk = kk.transpose(0, 2, 1, 3, 4, 5)
+    return kk.reshape(3, 3, 4 * ci, co)
+
+
+def s2d_down4(x2: jax.Array, k2: jax.Array,
+              shift: Optional[jax.Array] = None,
+              relu: bool = False) -> jax.Array:
+    """Stride-2 k4 downsampling conv consuming an s2d activation and
+    producing a PLAIN (non-s2d) activation on the half-res grid."""
+    y = jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if shift is not None:
+        y = y + shift.astype(y.dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
+def s2d_up4(x: jax.Array, w: jax.Array,
+            shift: Optional[jax.Array] = None,
+            relu: bool = False) -> jax.Array:
+    """ConvTranspose(4, 4, stride 2, torch pad 1) consuming a PLAIN
+    activation and emitting the 2x-res result in the S2D DOMAIN — the
+    sub-pixel decomposition (nn/blocks.py:_SubpixelConvTranspose4x4)
+    already computes the four phase groups; skipping its pixel-shuffle IS
+    the s2d layout. `shift` is the per-channel (cout,) bias+BN shift."""
+    cout = w.shape[3]
+    n, h, wd = x.shape[:3]
+    phases = [w[a::2, b::2] for a in (0, 1) for b in (0, 1)]
+    k2 = jnp.concatenate(phases, axis=-1).astype(x.dtype)
+    yb = jax.lax.conv_general_dilated(
+        x, k2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    groups = [yb[:, a:a + h, b:b + wd,
+                 (a * 2 + b) * cout:(a * 2 + b + 1) * cout]
+              for a in (0, 1) for b in (0, 1)]
+    y = jnp.concatenate(groups, axis=-1)
+    if shift is not None:
+        y = y + jnp.tile(shift, 4).astype(y.dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
+def s2d_concat(a2: jax.Array, b2: jax.Array, ca: int, cb: int) -> jax.Array:
+    """Channel-concat in the s2d domain: phase blocks interleave, so plain
+    concatenation of the two s2d tensors would scramble phase order."""
+    n, h2, w2, _ = a2.shape
+    za = a2.reshape(n, h2, w2, 4, ca)
+    zb = b2.reshape(n, h2, w2, 4, cb)
+    return jnp.concatenate([za, zb], axis=-1).reshape(n, h2, w2, 4 * (ca + cb))
+
+
+def s2d_attention(x2: jax.Array, params, c: int,
+                  dtype=jnp.bfloat16) -> jax.Array:
+    """CBAM AttentionBlock (nn/blocks.py:80-120) evaluated in the s2d
+    domain: channel stats aggregate over (H2, W2, phase); the 7x7 spatial
+    stencil becomes an s2d conv over the per-phase (mean, max) maps."""
+    n, h2, w2, _ = x2.shape
+    z = x2.reshape(n, h2, w2, 4, c)
+    avg = jnp.mean(z, axis=(1, 2, 3))
+    mx = jnp.max(z, axis=(1, 2, 3))
+    k0 = params["Dense_0"]["kernel"].astype(dtype)
+    k1 = params["Dense_1"]["kernel"].astype(dtype)
+
+    def mlp(v):
+        return jax.nn.relu(v @ k0) @ k1
+
+    gate_c = jax.nn.sigmoid(mlp(avg) + mlp(mx))  # (n, c)
+    x2 = x2 * jnp.tile(gate_c, (1, 4))[:, None, None, :]
+
+    z = x2.reshape(n, h2, w2, 4, c)
+    stats = jnp.stack([jnp.mean(z, axis=-1), jnp.max(z, axis=-1)],
+                      axis=-1)                       # (n, h2, w2, 4, 2)
+    stats = stats.reshape(n, h2, w2, 8)              # phase-major, stat-fast
+    k7 = s2d_conv_kernel(params["spatial_conv"]).astype(dtype)
+    gate_s = jax.nn.sigmoid(s2d_conv(stats, k7, 1, k=7))  # (n, h2, w2, 4)
+    return (z * gate_s.reshape(n, h2, w2, 4, 1)).reshape(x2.shape)
 
 
 def _fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
@@ -160,11 +299,226 @@ def make_lightweight_s2d_apply(variables, dtype=jnp.bfloat16):
     return apply_fn
 
 
+def _fold_convblock(p, bs, name):
+    """Fold a ConvBlock's (Conv_0 kernel, BatchNorm_0) into (kernel, shift)
+    in f32."""
+    k = p[name]["Conv_0"]["kernel"]
+    bn = p[name]["BatchNorm_0"]
+    st = bs[name]["BatchNorm_0"]
+    return _fold_bn(k, bn["scale"], bn["bias"], st["mean"], st["var"])
+
+
+def _sub(variables, name):
+    """Slice a submodule's variable dict out of the parent's."""
+    out = {"params": variables["params"][name]}
+    if name in variables.get("batch_stats", {}):
+        out["batch_stats"] = variables["batch_stats"][name]
+    return out
+
+
+def _s2d_residual(h, p, bs, name, c, dtype):
+    """ResidualBlock (two folded ConvBlocks + relu skip) in the s2d domain."""
+    ka, ta = _fold_convblock(p[name], bs[name], "ConvBlock_0")
+    kb, tb = _fold_convblock(p[name], bs[name], "ConvBlock_1")
+    y = s2d_conv(h, s2d_conv_kernel(ka).astype(dtype), c, k=3,
+                 shift=ta, relu=True)
+    y = s2d_conv(y, s2d_conv_kernel(kb).astype(dtype), c, k=3,
+                 shift=tb, relu=False)
+    return jax.nn.relu(y + h)
+
+
+def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16):
+    """Exact eval-mode serving path for `HighIntensityDehazeModel`
+    (models/branches.py:176-238) with the FULL-RES (256²) stages — stem,
+    guidance, decoder tail, heads, attention — in the lane-aligned s2d
+    domain and the inner (c>=192) stages on the canonical flax blocks.
+
+    Profile rationale (benchmarks/profile_branches.json): the c<128 stages
+    at full resolution run ~5-10x below their bounds from lane padding;
+    s2d packs 2x2 spatial blocks into channels (96 -> 384). Boundary
+    crossings are free: the k4/s2 down conv consumes the s2d layout
+    natively and the sub-pixel ConvTranspose emits it natively.
+    """
+    from adam_dehaze_tpu.nn.blocks import AttentionBlock, ConvBlock, ResidualBlock, UpBlock
+
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    c = model.base_channels
+    dt = dtype
+
+    # Folded s2d kernels (f32 fold, cast to compute dtype).
+    kg1, tg1 = _fold_convblock(p, bs, "ConvBlock_0")     # guidance 3->16
+    kg2, tg2 = _fold_convblock(p, bs, "ConvBlock_1")     # guidance 16->16
+    kgo = p["Conv_0"]["kernel"]                          # 1x1 16->1 (+bias)
+    tgo = p["Conv_0"]["bias"]
+    kst, tst = _fold_convblock(p, bs, "ConvBlock_2")     # stem 7x7 3->c
+    kd1, td1 = _fold_convblock(p, bs, "ConvBlock_3")     # e1 down k4s2
+    kup, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
+                         p["UpBlock_1"]["BatchNorm_0"]["scale"],
+                         p["UpBlock_1"]["BatchNorm_0"]["bias"],
+                         bs["UpBlock_1"]["BatchNorm_0"]["mean"],
+                         bs["UpBlock_1"]["BatchNorm_0"]["var"])
+    # ConvTranspose bias folds into the BN shift: shift += s * bias.
+    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
+            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
+    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
+    kh1, th1 = _fold_convblock(p, bs, "ConvBlock_5")     # head 2c->c
+    kh2, th2 = _fold_convblock(p, bs, "ConvBlock_6")     # head c->c/2
+    kout = p["Conv_1"]["kernel"]                         # 3x3 c/2->3 (+bias)
+    tout = p["Conv_1"]["bias"]
+
+    kg1s = s2d_conv_kernel(kg1).astype(dt)
+    kg2s = s2d_conv_kernel(kg2).astype(dt)
+    kgos = s2d_conv_kernel(kgo).astype(dt)
+    ksts = s2d_conv_kernel(kst).astype(dt)
+    kd1s = s2d_down4_kernel(kd1).astype(dt)
+    kh1s = s2d_conv_kernel(kh1).astype(dt)
+    kh2s = s2d_conv_kernel(kh2).astype(dt)
+    kouts = s2d_conv_kernel(kout).astype(dt)
+
+    # Canonical flax blocks for the aligned inner stages.
+    res2 = ResidualBlock(2 * c, dtype=dt)
+    res4 = ResidualBlock(4 * c, dtype=dt)
+    attn2 = AttentionBlock(2 * c, use_pallas=model.use_pallas, dtype=dt)
+    attn4 = AttentionBlock(4 * c, use_pallas=model.use_pallas, dtype=dt)
+    down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
+    up0 = UpBlock(2 * c, dtype=dt)
+
+    def apply_fn(x):
+        x2 = space_to_depth(x.astype(dt))
+
+        g = s2d_conv(x2, kg1s, 16, k=3, shift=tg1, relu=True)
+        g = s2d_conv(g, kg2s, 16, k=3, shift=tg2, relu=True)
+        guidance = jax.nn.sigmoid(
+            s2d_conv(g, kgos, 1, k=1, shift=tgo))        # (n, h2, w2, 4)
+
+        f0s = s2d_conv(x2, ksts, c, k=7, shift=tst, relu=True)
+
+        e1 = s2d_down4(f0s, kd1s, shift=td1, relu=True)  # plain, 128², 2c
+        e1 = res2.apply(_sub(variables, "ResidualBlock_0"), e1, False)
+        e1 = res2.apply(_sub(variables, "ResidualBlock_1"), e1, False)
+        e1 = attn2.apply(_sub(variables, "AttentionBlock_0"), e1, False)
+
+        e2 = down2.apply(_sub(variables, "ConvBlock_4"), e1, False)
+        e2 = res4.apply(_sub(variables, "ResidualBlock_2"), e2, False)
+        e2 = res4.apply(_sub(variables, "ResidualBlock_3"), e2, False)
+        e2 = attn4.apply(_sub(variables, "AttentionBlock_1"), e2, False)
+
+        b = res4.apply(_sub(variables, "ResidualBlock_4"), e2, False)
+        b = attn4.apply(_sub(variables, "AttentionBlock_2"), b, False)
+        b = res4.apply(_sub(variables, "ResidualBlock_5"), b, False)
+        b = attn4.apply(_sub(variables, "AttentionBlock_3"), b, False)
+
+        d1 = up0.apply(_sub(variables, "UpBlock_0"), b, False)
+        d1 = res2.apply(_sub(variables, "ResidualBlock_6"), d1, False)
+        d1 = attn2.apply(_sub(variables, "AttentionBlock_4"), d1, False)
+        d1 = jnp.concatenate([d1, e1], axis=-1)          # plain, 128², 4c
+
+        d2 = s2d_up4(d1, kup.astype(dt), shift=tup, relu=True)  # s2d, c
+        d2 = _s2d_residual(d2, p, bs, "ResidualBlock_7", c, dt)
+        d2 = s2d_attention(d2, p["AttentionBlock_5"], c, dtype=dt)
+        d2 = s2d_concat(d2, f0s, c, c)                   # s2d, 2c
+
+        h = s2d_conv(d2, kh1s, c, k=3, shift=th1, relu=True)
+        h = s2d_conv(h, kh2s, c // 2, k=3, shift=th2, relu=True)
+        res = s2d_conv(h, kouts, 3, k=3, shift=tout)
+        res = jnp.tanh(res)
+
+        n, h2, w2, _ = res.shape
+        res = res.reshape(n, h2, w2, 4, 3) * guidance.reshape(n, h2, w2, 4, 1)
+        out = jnp.clip(x2.reshape(n, h2, w2, 4, 3) + res, 0.0, 1.0)
+        return depth_to_space(out.reshape(n, h2, w2, 12)).astype(jnp.float32)
+
+    return apply_fn
+
+
+def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
+    """Exact eval-mode serving path for `MediumIntensityDehazeModel`
+    (models/branches.py:90-137): stem, decoder tail, and heads in the s2d
+    domain; inner stages canonical. Same rationale as
+    `make_high_s2d_apply`."""
+    from adam_dehaze_tpu.nn.blocks import ConvBlock, ResidualBlock, UpBlock
+
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    c = model.base_channels
+    dt = dtype
+
+    kst, tst = _fold_convblock(p, bs, "ConvBlock_0")     # stem 7x7
+    kd1, td1 = _fold_convblock(p, bs, "ConvBlock_1")     # e1 down k4s2
+    kup, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
+                         p["UpBlock_1"]["BatchNorm_0"]["scale"],
+                         p["UpBlock_1"]["BatchNorm_0"]["bias"],
+                         bs["UpBlock_1"]["BatchNorm_0"]["mean"],
+                         bs["UpBlock_1"]["BatchNorm_0"]["var"])
+    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
+            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
+    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
+    kh1, th1 = _fold_convblock(p, bs, "ConvBlock_3")     # head c
+    kh2, th2 = _fold_convblock(p, bs, "ConvBlock_4")     # head c/2
+    kout = p["Conv_0"]["kernel"]
+    tout = p["Conv_0"]["bias"]
+
+    ksts = s2d_conv_kernel(kst).astype(dt)
+    kd1s = s2d_down4_kernel(kd1).astype(dt)
+    kh1s = s2d_conv_kernel(kh1).astype(dt)
+    kh2s = s2d_conv_kernel(kh2).astype(dt)
+    kouts = s2d_conv_kernel(kout).astype(dt)
+
+    res2 = ResidualBlock(2 * c, dtype=dt)
+    res4 = ResidualBlock(4 * c, dtype=dt)
+    resc = ResidualBlock(c, dtype=dt)
+    down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
+    up0 = UpBlock(2 * c, dtype=dt)
+
+    def apply_fn(x):
+        x2 = space_to_depth(x.astype(dt))
+
+        f0s = s2d_conv(x2, ksts, c, k=7, shift=tst, relu=True)
+
+        e1 = s2d_down4(f0s, kd1s, shift=td1, relu=True)  # plain, 128², 2c
+        e1 = res2.apply(_sub(variables, "ResidualBlock_0"), e1, False)
+        e1 = res2.apply(_sub(variables, "ResidualBlock_1"), e1, False)
+
+        e2 = down2.apply(_sub(variables, "ConvBlock_2"), e1, False)
+        e2 = res4.apply(_sub(variables, "ResidualBlock_2"), e2, False)
+        e2 = res4.apply(_sub(variables, "ResidualBlock_3"), e2, False)
+
+        b = res4.apply(_sub(variables, "ResidualBlock_4"), e2, False)
+        b = res4.apply(_sub(variables, "ResidualBlock_5"), b, False)
+
+        d1 = up0.apply(_sub(variables, "UpBlock_0"), b, False)
+        d1 = res2.apply(_sub(variables, "ResidualBlock_6"), d1, False)
+        d1 = jnp.concatenate([d1, e1], axis=-1)          # plain, 128², 4c
+
+        d2 = s2d_up4(d1, kup.astype(dt), shift=tup, relu=True)  # s2d, c
+        d2 = _s2d_residual(d2, p, bs, "ResidualBlock_7", c, dt)
+        d2 = s2d_concat(d2, f0s, c, c)                   # s2d, 2c
+
+        h = s2d_conv(d2, kh1s, c, k=3, shift=th1, relu=True)
+        h = s2d_conv(h, kh2s, c // 2, k=3, shift=th2, relu=True)
+        res = s2d_conv(h, kouts, 3, k=3, shift=tout)
+        res = jnp.tanh(res)
+
+        out = jnp.clip(x2 + res, 0.0, 1.0)
+        return depth_to_space(out).astype(jnp.float32)
+
+    return apply_fn
+
+
 def make_serving_apply(model, variables, dtype=jnp.bfloat16):
-    """Fastest exact eval-mode apply for a branch model: the s2d path for
-    `LightweightDehazeModel`, the canonical flax apply otherwise."""
-    from adam_dehaze_tpu.models.branches import LightweightDehazeModel
+    """Fastest exact eval-mode apply for a branch model: s2d paths for the
+    default factory architectures, the canonical flax apply otherwise."""
+    from adam_dehaze_tpu.models.branches import (
+        HighIntensityDehazeModel,
+        LightweightDehazeModel,
+        MediumIntensityDehazeModel,
+    )
 
     if isinstance(model, LightweightDehazeModel):
         return make_lightweight_s2d_apply(variables, dtype=dtype)
+    if isinstance(model, MediumIntensityDehazeModel):
+        return make_medium_s2d_apply(model, variables, dtype=dtype)
+    if isinstance(model, HighIntensityDehazeModel):
+        return make_high_s2d_apply(model, variables, dtype=dtype)
     return lambda x: model.apply(variables, x, train=False)

@@ -101,3 +101,84 @@ def test_device_binned_with_s2d_applies(key):
         expect = applies[int(intensity[i])](x[i:i + 1])[0]
         np.testing.assert_allclose(np.asarray(dehazed[i]), np.asarray(expect),
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize("which", ["medium", "high"])
+def test_medium_high_s2d_apply_exact(key, which):
+    """The hybrid s2d serving paths (full-res stages in s2d, inner stages
+    canonical) reproduce the eval-mode forward of the medium/high branches,
+    including folded BN, s2d attention, and the s2d-emitting upsampler."""
+    from adam_dehaze_tpu.models.branches import (
+        HighIntensityDehazeModel,
+        MediumIntensityDehazeModel,
+    )
+    from adam_dehaze_tpu.ops.s2d import (
+        make_high_s2d_apply,
+        make_medium_s2d_apply,
+    )
+
+    cls, mk = {
+        "medium": (MediumIntensityDehazeModel, make_medium_s2d_apply),
+        "high": (HighIntensityDehazeModel, make_high_s2d_apply),
+    }[which]
+    m = cls(dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    vs = m.init(key, x, False)
+    bs = jax.tree_util.tree_map(
+        lambda a: a + jax.random.uniform(jax.random.PRNGKey(2), a.shape) * 0.3,
+        vs["batch_stats"])
+    vs = {"params": vs["params"], "batch_stats": bs}
+    y_ref = m.apply(vs, x, False)
+    y_fast = mk(m, vs, dtype=jnp.float32)(x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fast),
+                               atol=1e-5)
+
+
+def test_general_s2d_primitives(key):
+    """k=1/7 conv, k4s2 down, s2d-emitting up, and s2d attention vs their
+    canonical counterparts."""
+    import flax.linen as nn
+
+    from adam_dehaze_tpu.nn.blocks import AttentionBlock
+    from adam_dehaze_tpu.ops.s2d import (
+        s2d_attention,
+        s2d_conv,
+        s2d_conv_kernel,
+        s2d_down4,
+        s2d_down4_kernel,
+        s2d_up4,
+    )
+
+    x = jax.random.uniform(key, (2, 16, 20, 5), jnp.float32)
+    for k in (1, 7):
+        w = jax.random.normal(key, (k, k, 5, 6), jnp.float32) * 0.2
+        p = (k - 1) // 2
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = depth_to_space(
+            s2d_conv(space_to_depth(x), s2d_conv_kernel(w), 6, k=k))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    w4 = jax.random.normal(key, (4, 4, 5, 6), jnp.float32) * 0.2
+    ref = jax.lax.conv_general_dilated(
+        x, w4, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_down4(space_to_depth(x), s2d_down4_kernel(w4))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    ct = nn.ConvTranspose(6, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+                          use_bias=False)
+    wct = jax.random.normal(key, (4, 4, 5, 6), jnp.float32) * 0.2
+    ref = ct.apply({"params": {"kernel": wct}}, x)
+    got = depth_to_space(s2d_up4(x, wct))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    xa = jax.random.uniform(key, (2, 16, 20, 16), jnp.float32)
+    attn = AttentionBlock(16)
+    va = attn.init(key, xa)
+    ref = attn.apply(va, xa)
+    got = depth_to_space(
+        s2d_attention(space_to_depth(xa), va["params"], 16,
+                      dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
