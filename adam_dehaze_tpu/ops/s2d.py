@@ -351,8 +351,6 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16):
     kg2, tg2 = _fold_convblock(p, bs, "ConvBlock_1")     # guidance 16->16
     kgo = p["Conv_0"]["kernel"]                          # 1x1 16->1 (+bias)
     tgo = p["Conv_0"]["bias"]
-    kst, tst = _fold_convblock(p, bs, "ConvBlock_2")     # stem 7x7 3->c
-    kd1, td1 = _fold_convblock(p, bs, "ConvBlock_3")     # e1 down k4s2
     kup, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
                          p["UpBlock_1"]["BatchNorm_0"]["scale"],
                          p["UpBlock_1"]["BatchNorm_0"]["bias"],
@@ -370,31 +368,35 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16):
     kg1s = s2d_conv_kernel(kg1).astype(dt)
     kg2s = s2d_conv_kernel(kg2).astype(dt)
     kgos = s2d_conv_kernel(kgo).astype(dt)
-    ksts = s2d_conv_kernel(kst).astype(dt)
-    kd1s = s2d_down4_kernel(kd1).astype(dt)
     kh1s = s2d_conv_kernel(kh1).astype(dt)
     kh2s = s2d_conv_kernel(kh2).astype(dt)
     kouts = s2d_conv_kernel(kout).astype(dt)
 
-    # Canonical flax blocks for the aligned inner stages.
+    # Canonical flax blocks for the aligned inner stages. The 7x7 stem and
+    # the k4/s2 down conv also stay canonical: a k=7 s2d kernel has 19%
+    # fill (5.2x MAC waste), which measured slower than the canonical stem.
     res2 = ResidualBlock(2 * c, dtype=dt)
     res4 = ResidualBlock(4 * c, dtype=dt)
     attn2 = AttentionBlock(2 * c, use_pallas=model.use_pallas, dtype=dt)
     attn4 = AttentionBlock(4 * c, use_pallas=model.use_pallas, dtype=dt)
+    stem = ConvBlock(c, 7, dtype=dt)
+    down1 = ConvBlock(2 * c, 4, stride=2, padding=1, dtype=dt)
     down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
     up0 = UpBlock(2 * c, dtype=dt)
 
     def apply_fn(x):
-        x2 = space_to_depth(x.astype(dt))
+        xin = x.astype(dt)
+        x2 = space_to_depth(xin)
 
         g = s2d_conv(x2, kg1s, 16, k=3, shift=tg1, relu=True)
         g = s2d_conv(g, kg2s, 16, k=3, shift=tg2, relu=True)
         guidance = jax.nn.sigmoid(
             s2d_conv(g, kgos, 1, k=1, shift=tgo))        # (n, h2, w2, 4)
 
-        f0s = s2d_conv(x2, ksts, c, k=7, shift=tst, relu=True)
+        f0 = stem.apply(_sub(variables, "ConvBlock_2"), xin, False)
+        f0s = space_to_depth(f0)                         # for the d2 concat
 
-        e1 = s2d_down4(f0s, kd1s, shift=td1, relu=True)  # plain, 128², 2c
+        e1 = down1.apply(_sub(variables, "ConvBlock_3"), f0, False)
         e1 = res2.apply(_sub(variables, "ResidualBlock_0"), e1, False)
         e1 = res2.apply(_sub(variables, "ResidualBlock_1"), e1, False)
         e1 = attn2.apply(_sub(variables, "AttentionBlock_0"), e1, False)
@@ -444,8 +446,6 @@ def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
     c = model.base_channels
     dt = dtype
 
-    kst, tst = _fold_convblock(p, bs, "ConvBlock_0")     # stem 7x7
-    kd1, td1 = _fold_convblock(p, bs, "ConvBlock_1")     # e1 down k4s2
     kup, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
                          p["UpBlock_1"]["BatchNorm_0"]["scale"],
                          p["UpBlock_1"]["BatchNorm_0"]["bias"],
@@ -459,24 +459,26 @@ def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
     kout = p["Conv_0"]["kernel"]
     tout = p["Conv_0"]["bias"]
 
-    ksts = s2d_conv_kernel(kst).astype(dt)
-    kd1s = s2d_down4_kernel(kd1).astype(dt)
     kh1s = s2d_conv_kernel(kh1).astype(dt)
     kh2s = s2d_conv_kernel(kh2).astype(dt)
     kouts = s2d_conv_kernel(kout).astype(dt)
 
+    # 7x7 stem and k4/s2 down stay canonical (k=7 s2d fill is 19%).
     res2 = ResidualBlock(2 * c, dtype=dt)
     res4 = ResidualBlock(4 * c, dtype=dt)
-    resc = ResidualBlock(c, dtype=dt)
+    stem = ConvBlock(c, 7, dtype=dt)
+    down1 = ConvBlock(2 * c, 4, stride=2, padding=1, dtype=dt)
     down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
     up0 = UpBlock(2 * c, dtype=dt)
 
     def apply_fn(x):
-        x2 = space_to_depth(x.astype(dt))
+        xin = x.astype(dt)
+        x2 = space_to_depth(xin)
 
-        f0s = s2d_conv(x2, ksts, c, k=7, shift=tst, relu=True)
+        f0 = stem.apply(_sub(variables, "ConvBlock_0"), xin, False)
+        f0s = space_to_depth(f0)
 
-        e1 = s2d_down4(f0s, kd1s, shift=td1, relu=True)  # plain, 128², 2c
+        e1 = down1.apply(_sub(variables, "ConvBlock_1"), f0, False)
         e1 = res2.apply(_sub(variables, "ResidualBlock_0"), e1, False)
         e1 = res2.apply(_sub(variables, "ResidualBlock_1"), e1, False)
 

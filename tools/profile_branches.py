@@ -101,14 +101,33 @@ def main():
                      "pct_of_peak": round(tf / peak * 100.0, 1)})
         print(f"{label:40s} {ms:8.3f} ms  {gflops:8.1f} G  "
               f"{tf:6.1f} TF/s  {tf / peak * 100.0:5.1f}%")
+        return vs
 
     # ---- full branches ----------------------------------------------------
     branches = create_branch_models(config)
     x = jax.random.uniform(key, (N, S, S, 3), jnp.float32)
     full_gflops = {"low": 8.7 * N, "medium": 110.9 * N, "high": 249.2 * N}
+    branch_vars = {}
     for name in ("low", "medium", "high"):
         m = branches[name]
-        bench(f"branch/{name} (batch {N})", m, x, full_gflops[name])
+        branch_vars[name] = bench(f"branch/{name} (batch {N})", m, x,
+                                  full_gflops[name])
+
+    # s2d serving paths (ops/s2d.py) for comparison, same analytic FLOPs.
+    from adam_dehaze_tpu.ops.s2d import make_serving_apply
+    sdt = jnp.bfloat16 if on_tpu else jnp.float32
+    for name in ("low", "medium", "high"):
+        fn = jax.jit(make_serving_apply(branches[name], branch_vars[name],
+                                        dtype=sdt))
+        ms = timeit(fn, x) * 1000.0
+        gf = full_gflops[name]
+        tf = gf / ms
+        rows.append({"stage": f"branch/{name} s2d-serving (batch {N})",
+                     "ms": round(ms, 3), "gflops": round(gf, 1),
+                     "tflops_per_s": round(tf, 1),
+                     "pct_of_peak": round(tf / peak * 100.0, 1)})
+        print(f"{f'branch/{name} s2d-serving (batch {N})':40s} {ms:8.3f} ms  "
+              f"{gf:8.1f} G  {tf:6.1f} TF/s  {tf / peak * 100.0:5.1f}%")
 
     classifier = create_classifier(config)
     cvars = classifier.init({"params": key, "dropout": key}, x[:1])
