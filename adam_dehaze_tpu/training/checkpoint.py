@@ -45,10 +45,27 @@ def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
                     ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     """Restore a checkpoint (optionally against a target tree for dtype/shape
-    safety). Returns (state, metrics)."""
+    safety). Returns (state, metrics).
+
+    Cross-device portability: an untargeted StandardCheckpointer restore
+    replays the sharding metadata recorded at save time, so a checkpoint
+    written on TPU fails to load on CPU ("Device TPU v5 lite0 was not
+    found"). When that happens, fall back to a PyTreeCheckpointer restore
+    as host numpy arrays — eval/serving on any backend works from any
+    checkpoint."""
     path = os.path.abspath(path)
     ckptr = _checkpointer()
-    state = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+    try:
+        state = (ckptr.restore(path, target) if target is not None
+                 else ckptr.restore(path))
+    except ValueError as e:
+        if "not found in jax.local_devices" not in str(e):
+            raise
+        pytree_ckptr = ocp.PyTreeCheckpointer()
+        meta = pytree_ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        state = pytree_ckptr.restore(path, restore_args=restore_args)
     metrics = {}
     mpath = path + ".metrics.json"
     if os.path.exists(mpath):

@@ -171,3 +171,30 @@ def test_lpips_head_conversion(key, rng):
                                sd["lin0.model.1.weight"].reshape(-1))
     d = m.apply(params, x, x)
     np.testing.assert_allclose(np.asarray(d), [0.0], atol=1e-6)
+
+
+def test_load_checkpoint_cross_device_fallback(tmp_path, monkeypatch):
+    """A checkpoint whose sharding metadata references an unavailable device
+    (e.g. saved on TPU, restored on CPU) falls back to a host-numpy PyTree
+    restore instead of failing (checkpoint.py:load_checkpoint)."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from adam_dehaze_tpu.training import checkpoint as ckpt
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.int32(7)}
+    path = ckpt.save_checkpoint(str(tmp_path), "best_model", state,
+                                {"val": 1.0})
+
+    class _FailingStd:
+        def restore(self, *a, **k):
+            raise ValueError(
+                "Device TPU v5 lite0 was not found in jax.local_devices().")
+
+    monkeypatch.setattr(ckpt, "_checkpointer", lambda: _FailingStd())
+    restored, metrics = ckpt.load_checkpoint(path)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+    assert int(restored["step"]) == 7
+    assert metrics["val"] == 1.0
