@@ -161,6 +161,23 @@ def main():
             print(f"device-binned variant skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
+        # Steady-state stream throughput: run_stream overlaps batch k+1's
+        # classifier with batch k's label fetch + dispatch, so this is the
+        # serving-relevant imgs/sec (latency-per-batch is the primary).
+        n_stream = 12
+        for _ in engine.run_stream([x] * 2, intensities=[balanced] * 2):
+            pass  # warm
+        t0 = time.perf_counter()
+        last = None
+        for out, _lab in engine.run_stream([x] * n_stream,
+                                           intensities=[balanced] * n_stream):
+            last = out
+        _sync(last)
+        stream_per_img = (time.perf_counter() - t0) / (n_stream * BATCH)
+        result["stream_ms_per_image"] = round(stream_per_img * 1000.0, 4)
+        result["stream_imgs_per_sec_per_chip"] = round(
+            1.0 / stream_per_img, 1)
+
         # Skewed (all-high) traffic: same compiled programs, no oracle balance.
         per_iter_skew = _time(lambda: engine(x, intensity=skewed)[0],
                               iters=max(ITERS // 3, 5))

@@ -149,3 +149,42 @@ def test_sharded_binned_matches_select(key):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_sel),
                                rtol=1e-5, atol=1e-6)
     assert logits.shape == (16, 3)
+
+
+def test_sharded_binned_with_s2d_applies(key):
+    """The sharded device-binned engine composed with the s2d serving
+    applies (ops/s2d.py) under shard_map on an 8-device mesh still matches
+    hard-select routing — the s2d pure functions shard transparently."""
+    from adam_dehaze_tpu.models.routing import make_sharded_binned_infer
+    from adam_dehaze_tpu.ops.s2d import make_serving_apply
+    from adam_dehaze_tpu.parallel.mesh import make_mesh
+
+    models = {
+        "low": LightweightDehazeModel(base_channels=4, n_blocks=1,
+                                      dtype=jnp.float32),
+        "medium": LightweightDehazeModel(base_channels=6, n_blocks=1,
+                                         dtype=jnp.float32),
+        "high": LightweightDehazeModel(base_channels=8, n_blocks=1,
+                                       dtype=jnp.float32),
+    }
+    x = jax.random.uniform(key, (16, 16, 16, 3))
+    variables = {n: m.init(jax.random.PRNGKey(i), x, False)
+                 for i, (n, m) in enumerate(models.items())}
+    applies = [make_serving_apply(models[n], variables[n],
+                                  dtype=jnp.float32)
+               for n in ("low", "medium", "high")]
+
+    def classifier(img):
+        b = img.mean(axis=(1, 2, 3))
+        cls = jnp.floor(b * 1e4).astype(jnp.int32) % 3
+        return jax.nn.one_hot(cls, 3) * 10.0, None
+
+    mesh = make_mesh({"data": 8, "spatial": 1, "model": 1})
+    mesh = jax.sharding.Mesh(mesh.devices.reshape(8), ("data",))
+    fn = make_sharded_binned_infer(classifier, applies, mesh, chunk=2)
+    y, intensity, logits = fn(x)
+    select = jax.jit(make_adaptive_infer(classifier, applies, "select"))
+    y_sel, i_sel = select(x)
+    np.testing.assert_array_equal(np.asarray(intensity), np.asarray(i_sel))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_sel),
+                               rtol=1e-5, atol=1e-6)

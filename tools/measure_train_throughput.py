@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Measure full-system joint-training throughput on the attached chip.
+
+Builds the complete joint step (classifier + soft router + three branches +
+VGG/LPIPS joint loss + backward + Adam) exactly like training/train_joint.py
+and times steady-state steps with the reliable axon sync (scalar fetch).
+
+Usage: python tools/measure_train_throughput.py [--batch 16] [--size 256]
+                                                [--steps 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args()
+
+    from adam_dehaze_tpu.config import default_config
+    from adam_dehaze_tpu.losses.dehazing import get_joint_loss
+    from adam_dehaze_tpu.models.branches import create_branch_models
+    from adam_dehaze_tpu.models.classifier import create_classifier
+    from adam_dehaze_tpu.models.routing import create_router
+    from adam_dehaze_tpu.training.state import TrainState, make_optimizer
+    from adam_dehaze_tpu.training.train_joint import make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    config = default_config()
+    config["tpu"]["use_pallas"] = on_tpu
+    config["tpu"]["compute_dtype"] = "bfloat16" if on_tpu else "float32"
+    config["dataset"]["img_size"] = args.size
+    config["dataset"]["batch_size"] = args.batch
+
+    classifier = create_classifier(config)
+    branches = create_branch_models(config)
+    router = create_router(branches, classifier, config)
+    joint_loss = get_joint_loss(config)
+    loss_params = joint_loss.init(jax.random.PRNGKey(1),
+                                  (1, args.size, args.size, 3))
+    tx = make_optimizer(config["joint_training"]["learning_rate"])
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, args.size, args.size, 3), jnp.float32)
+    variables = router.init({"params": key, "dropout": key}, x0)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    step = make_train_step(router, tx, joint_loss, loss_params,
+                           augmentation=True)
+
+    n, s = args.batch, args.size
+    batch = {
+        "hazy": jax.random.uniform(jax.random.PRNGKey(1), (n, s, s, 3)),
+        "clear": jax.random.uniform(jax.random.PRNGKey(2), (n, s, s, 3)),
+        "dehazed": jax.random.uniform(jax.random.PRNGKey(3), (n, s, s, 3)),
+        "intensity": jnp.zeros((n,), jnp.int32),
+    }
+
+    def sync(st):
+        return float(jnp.sum(jax.tree_util.tree_leaves(st.params)[0]))
+
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
+    sync(state)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    sync(state)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        "metric": "joint_train_imgs_per_sec_per_chip",
+        "value": round(args.batch / dt, 1),
+        "sec_per_step": round(dt, 4),
+        "batch": args.batch, "size": args.size,
+        "device": jax.devices()[0].device_kind,
+    }))
+
+
+if __name__ == "__main__":
+    main()
