@@ -179,7 +179,12 @@ def get_dataloader(config, split: str = "train", seed: Optional[int] = None) -> 
             f"{os.path.join(config['dataset'][key], split)} — expected "
             "{root}/{split}/{low,medium,high}/{hazy,clear,dehazed}/*.png|jpg "
             "with matching names in all three subdirs")
-    return DataLoader(
+    loader = DataLoader(
         ds, batch_size=config["dataset"]["batch_size"], shuffle=(split == "train"),
         num_workers=config["dataset"]["num_workers"],
         seed=config["seed"] if seed is None else seed)
+    # Multi-host runs read only this host's strided shard (identity for a
+    # single process) — every trainer/evaluator gets per-host data loading
+    # without further plumbing (parallel/multihost.py).
+    from adam_dehaze_tpu.parallel.multihost import shard_loader_for_host
+    return shard_loader_for_host(loader)

@@ -128,7 +128,9 @@ def get_detection_dataloader(config, split: str = "test",
         img_size=img_size,
         image_source=image_source,
     )
-    return DataLoader(
+    loader = DataLoader(
         ds, batch_size=max(config["dataset"]["batch_size"] // 2, 1),
         shuffle=False, num_workers=config["dataset"]["num_workers"],
         drop_remainder=False)
+    from adam_dehaze_tpu.parallel.multihost import shard_loader_for_host
+    return shard_loader_for_host(loader)

@@ -219,7 +219,11 @@ def evaluate_classifier_pass(eval_step, state, loader) -> Dict[str, float]:
         tot_loss += float(m["loss"]) * n
         tot_acc += float(m["acc"]) * n
         tot_n += n
-    return {"loss": tot_loss / max(tot_n, 1), "acc": tot_acc / max(tot_n, 1)}
+    out = {"loss": tot_loss / max(tot_n, 1), "acc": tot_acc / max(tot_n, 1)}
+    # Multi-host: average the per-host-shard metrics so every process makes
+    # the same best-checkpoint decision (identity when single-process).
+    from adam_dehaze_tpu.parallel.multihost import all_hosts_mean_tree
+    return all_hosts_mean_tree(out)
 
 
 def evaluate_classifier(model, state, config) -> Dict:

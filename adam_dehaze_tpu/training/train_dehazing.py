@@ -233,6 +233,11 @@ def _validate(eval_step, state, loader) -> Dict[str, float]:
         if images is None:
             images = np.asarray(m["dehazed"][:4])
     out = {k: v / max(n_total, 1) for k, v in tot.items()}
+    # Multi-host: each host validated its own shard; average across hosts so
+    # every process agrees on best-checkpoint decisions (identity when
+    # single-process).
+    from adam_dehaze_tpu.parallel.multihost import all_hosts_mean_tree
+    out = all_hosts_mean_tree(out)
     out["images"] = images
     return out
 

@@ -101,3 +101,32 @@ def test_two_process_dcn_aggregation(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out
+
+
+def test_get_dataloader_is_host_sharded(tmp_path, monkeypatch):
+    """get_dataloader/get_detection_dataloader transparently restrict to
+    this host's shard when running multi-process (identity single-process):
+    simulated 2-host run sees half the samples, disjoint across hosts."""
+    import jax
+
+    from adam_dehaze_tpu.data.dataset import get_dataloader
+    from adam_dehaze_tpu.data.preprocessing import generate_synthetic_dataset
+
+    root = str(tmp_path / "corpus")
+    generate_synthetic_dataset(root, n_per_class=8, size=16, seed=0)
+    cfg = {"dataset": {"train_path": root, "val_path": root, "test_path": root,
+                       "img_size": 16, "batch_size": 2, "num_workers": 1},
+           "seed": 0}
+
+    full = get_dataloader(cfg, "train")
+    n_full = len(full.dataset)
+    assert n_full > 0
+
+    seen = []
+    for pid in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        shard = get_dataloader(cfg, "train")
+        assert len(shard.dataset) in (n_full // 2, (n_full + 1) // 2)
+        seen.extend(shard.dataset.indices)
+    assert sorted(seen) == list(range(n_full))
