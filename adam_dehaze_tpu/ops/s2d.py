@@ -83,9 +83,9 @@ def s2d_conv_kernel(w: jax.Array) -> jax.Array:
     zero (gathered from a zero-padded kernel row/col)."""
     k = w.shape[0]
     ci, co = w.shape[2], w.shape[3]
-    w2, pad_lo, _, _ = _s2d_meta(k)
+    w2, pad_lo, _, offs = _s2d_meta(k)
     pad_k = (k - 1) // 2
-    starts = [-pad_lo, _s2d_meta(k)[3][1] - pad_lo]
+    starts = [o - pad_lo for o in offs]  # per-phase window start rows
     # idx[u, a, alpha] -> raw tap i in [0, k-1], or k for the zero slot.
     idx = np.full((w2, 2, 2), k, np.int32)
     for a in (0, 1):
