@@ -103,14 +103,18 @@ class AttentionBlock(nn.Module):
         ])
         avg = jnp.mean(x, axis=(1, 2))
         mx = jnp.max(x, axis=(1, 2))
-        channel_gate = jax.nn.sigmoid(mlp(avg) + mlp(mx))[:, None, None, :]
-        x = x * channel_gate
+        channel_gate = jax.nn.sigmoid(mlp(avg) + mlp(mx))  # (n, c)
 
         spatial_w = self.param(
             "spatial_conv", nn.initializers.lecun_normal(), (7, 7, 2, 1), jnp.float32)
         if self.use_pallas:
-            from adam_dehaze_tpu.ops.pallas.cbam import spatial_gate
-            return spatial_gate(x, spatial_w.astype(self.dtype))
+            # One fused pass applies BOTH gates (channel + spatial): the
+            # standalone channel-gate multiply's read+write of x-sized HBM
+            # traffic disappears (ops/pallas/cbam.py).
+            from adam_dehaze_tpu.ops.pallas.cbam import channel_spatial_gate
+            return channel_spatial_gate(x, channel_gate,
+                                        spatial_w.astype(self.dtype))
+        x = x * channel_gate[:, None, None, :]
         stats = jnp.stack(
             [jnp.mean(x, axis=-1), jnp.max(x, axis=-1)], axis=-1)
         gate = jax.lax.conv_general_dilated(

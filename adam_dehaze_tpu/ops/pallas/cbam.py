@@ -68,6 +68,26 @@ def _kernel(x_ref, mean_ref, max_ref, w_ref, out_ref, *, tile_h: int,
     out_ref[0] = x * gate[:, :, None].astype(x.dtype)
 
 
+def _kernel_cgate(x_ref, g_ref, mean_ref, max_ref, w_ref, out_ref, *,
+                  tile_h: int, width: int):
+    """Like `_kernel` but also applies the per-channel CBAM gate in the same
+    pass — the standalone channel-gate multiply (read + write of x-sized
+    HBM traffic) disappears."""
+    t = pl.program_id(1)
+    row0 = pl.multiple_of(t * tile_h, 8)
+    mean_win = mean_ref[0, pl.ds(row0, tile_h + 8), :]
+    max_win = max_ref[0, pl.ds(row0, tile_h + 8), :]
+    acc = jnp.zeros((tile_h, width), jnp.float32)
+    for i in range(7):
+        for j in range(7):
+            acc = acc + mean_win[i:i + tile_h, j:j + width] * w_ref[i, j, 0, 0]
+            acc = acc + max_win[i:i + tile_h, j:j + width] * w_ref[i, j, 1, 0]
+    gate = jax.nn.sigmoid(acc)
+    x = x_ref[0]
+    g = g_ref[0]
+    out_ref[0] = x * g[None, None, :].astype(x.dtype) * gate[:, :, None].astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spatial_gate_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
     """x: (B, H, W, C) NHWC; w: (7, 7, 2, 1) HWIO stencil weights."""
@@ -102,6 +122,78 @@ def spatial_gate_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> 
             memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, mean, mx, w.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def channel_spatial_gate_pallas(x: jax.Array, g: jax.Array, w: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """Fused CBAM application: out = (x*g) * sigmoid(conv7x7(stats(x*g))).
+
+    x: (B, H, W, C); g: (B, C) channel gate; w: (7, 7, 2, 1). The (mean,
+    max) maps of the GATED tensor are computed XLA-side WITHOUT
+    materialising x*g (the multiply fuses into the reductions); the Pallas
+    kernel then reads x once, applies g and the spatial gate, and writes
+    once — one full read+write pass fewer than gating in two steps."""
+    b, h, width, c = x.shape
+    tile_h = _pick_tile(h, width, c, x.dtype.itemsize)
+    if tile_h == 0:
+        return channel_spatial_gate_reference(x, g, w)
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    mean = jnp.einsum("nhwc,nc->nhw", xf, gf) / c
+    mx = jnp.max(xf * gf[:, None, None, :], axis=-1)
+    mean = jnp.pad(mean, ((0, 0), (_HALO, _HALO + 2), (_HALO, _HALO)))
+    mx = jnp.pad(mx, ((0, 0), (_HALO, _HALO + 2), (_HALO, _HALO)))
+
+    kernel = functools.partial(_kernel_cgate, tile_h=tile_h, width=width)
+    stats_spec = pl.BlockSpec((1, h + 2 * _HALO + 2, width + 2 * _HALO),
+                              lambda bi, ti: (bi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, h // tile_h),
+        in_specs=[
+            pl.BlockSpec((1, tile_h, width, c), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            stats_spec,
+            stats_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, width, c), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, g, mean, mx, w.astype(jnp.float32))
+
+
+def channel_spatial_gate_reference(x: jax.Array, g: jax.Array,
+                                   w: jax.Array) -> jax.Array:
+    """Plain-XLA reference of the fused op (tests, fallback, backward)."""
+    gated = x * g[:, None, None, :].astype(x.dtype)
+    return spatial_gate_reference(gated, w)
+
+
+@jax.custom_vjp
+def channel_spatial_gate(x: jax.Array, g: jax.Array, w: jax.Array) -> jax.Array:
+    """Differentiable fused channel+spatial CBAM gate: Pallas forward,
+    XLA-derived exact backward."""
+    return channel_spatial_gate_pallas(x, g, w)
+
+
+def _cs_gate_fwd(x, g, w):
+    return channel_spatial_gate_pallas(x, g, w), (x, g, w)
+
+
+def _cs_gate_bwd(residuals, ct):
+    x, g, w = residuals
+    _, vjp = jax.vjp(channel_spatial_gate_reference, x, g, w)
+    return vjp(ct)
+
+
+channel_spatial_gate.defvjp(_cs_gate_fwd, _cs_gate_bwd)
 
 
 def spatial_gate_reference(x: jax.Array, w: jax.Array) -> jax.Array:
