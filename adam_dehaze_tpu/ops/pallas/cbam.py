@@ -84,7 +84,7 @@ def _kernel_cgate(x_ref, g_ref, mean_ref, max_ref, w_ref, out_ref, *,
             acc = acc + max_win[i:i + tile_h, j:j + width] * w_ref[i, j, 1, 0]
     gate = jax.nn.sigmoid(acc)
     x = x_ref[0]
-    g = g_ref[0]
+    g = g_ref[0, 0]
     out_ref[0] = x * g[None, None, :].astype(x.dtype) * gate[:, :, None].astype(x.dtype)
 
 
@@ -156,7 +156,10 @@ def channel_spatial_gate_pallas(x: jax.Array, g: jax.Array, w: jax.Array,
         in_specs=[
             pl.BlockSpec((1, tile_h, width, c), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bi, ti: (bi, 0),
+            # (b, 1, c) with a (1, 1, c) block: Mosaic requires the last
+            # two block dims to be (8, 128)-divisible OR equal to the array
+            # dims — a flat (1, c) gate block fails that check on real TPU.
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             stats_spec,
             stats_spec,
@@ -166,7 +169,7 @@ def channel_spatial_gate_pallas(x: jax.Array, g: jax.Array, w: jax.Array,
             (1, tile_h, width, c), lambda bi, ti: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, g, mean, mx, w.astype(jnp.float32))
+    )(x, g.reshape(b, 1, c), mean, mx, w.astype(jnp.float32))
 
 
 def channel_spatial_gate_reference(x: jax.Array, g: jax.Array,
