@@ -111,6 +111,28 @@ class AdaptiveDehazer:
         out, intensity, _ = self._engines[key](jnp.asarray(images))
         return np.asarray(out), np.asarray(intensity)
 
+    def route_device_binned_stream(self, batches, chunk: int = 16,
+                                   depth: int = 2):
+        """Highest-throughput serving: one on-device binned program per
+        batch, enqueued asynchronously `depth` batches deep — no host label
+        sync at all, so dispatch overhead and result fetch overlap device
+        compute (cf. route_hard_stream, which pays a label round-trip per
+        batch). Yields (dehazed np.ndarray, intensity np.ndarray)."""
+        key = f"device_binned_{chunk}"
+        if key not in self._engines:
+            from adam_dehaze_tpu.models.routing import make_device_binned_infer
+            self._engines[key] = jax.jit(make_device_binned_infer(
+                self._classifier_apply(), self._branch_applies(), chunk=chunk))
+        fn = self._engines[key]
+        pending = []
+        for x in batches:
+            pending.append(fn(jnp.asarray(x)))  # async dispatch
+            if len(pending) > depth:
+                out, intensity, _ = pending.pop(0)
+                yield np.asarray(out), np.asarray(intensity)
+        for out, intensity, _ in pending:
+            yield np.asarray(out), np.asarray(intensity)
+
     def route_switch(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """Per-image lax.switch serving (lowest single-image latency)."""
         if "switch" not in self._engines:

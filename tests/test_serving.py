@@ -76,3 +76,17 @@ def test_serving_stream(experiment, rng):
     for (yd, idir), (ys, istr) in zip(direct, streamed):
         np.testing.assert_array_equal(idir, istr)
         np.testing.assert_allclose(yd, ys, atol=1e-6)
+
+
+def test_serving_device_binned_stream(experiment, rng):
+    """The async single-program stream yields the same results as per-batch
+    device-binned calls, in order, for any pipeline depth vs batch count."""
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    batches = [rng.random((4, 32, 32, 3), dtype=np.float32) for _ in range(4)]
+    direct = [dehazer.route_device_binned(b, chunk=2) for b in batches]
+    streamed = list(dehazer.route_device_binned_stream(batches, chunk=2,
+                                                       depth=2))
+    assert len(streamed) == 4
+    for (yd, idir), (ys, istr) in zip(direct, streamed):
+        np.testing.assert_array_equal(idir, istr)
+        np.testing.assert_allclose(yd, ys, atol=1e-6)
