@@ -112,6 +112,9 @@ def s2d_conv(x2: jax.Array, k2: jax.Array, cout: int, k: int = 3,
     broadcast over the 4 phases. Returns (N, H2, W2, 4*cout)."""
     n, h2, w2d, _ = x2.shape
     _, pad_lo, pad_hi, offs = _s2d_meta(k)
+    # (Sublane-aligning the H2+1-row conv output by extra hi-padding was
+    # tried and measured neutral on v5e — the odd row count is not what
+    # limits these convs.)
     yb = jax.lax.conv_general_dilated(
         x2, k2, window_strides=(1, 1),
         padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
