@@ -101,6 +101,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_remainder = shuffle if drop_remainder is None else drop_remainder
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
 
@@ -165,8 +166,14 @@ class DataLoader:
             stop.set()
 
 
-def get_dataloader(config, split: str = "train", seed: Optional[int] = None) -> DataLoader:
-    """(reference: data/dataset.py:233-249)"""
+def get_dataloader(config, split: str = "train", seed: Optional[int] = None,
+                   shard_per_host: bool = True) -> DataLoader:
+    """(reference: data/dataset.py:233-249)
+
+    `shard_per_host=False` keeps the full dataset on every host — the
+    evaluation entry points use it so a multi-process evaluate reports
+    global (not shard-local) metrics without needing cross-host reduction.
+    """
     key = {"train": "train_path", "val": "val_path"}.get(split, "test_path")
     ds = HazyImageDataset(
         root_dir=config["dataset"][key], split=split,
@@ -186,5 +193,7 @@ def get_dataloader(config, split: str = "train", seed: Optional[int] = None) -> 
     # Multi-host runs read only this host's strided shard (identity for a
     # single process) — every trainer/evaluator gets per-host data loading
     # without further plumbing (parallel/multihost.py).
+    if not shard_per_host:
+        return loader
     from adam_dehaze_tpu.parallel.multihost import shard_loader_for_host
     return shard_loader_for_host(loader)

@@ -116,9 +116,12 @@ class DetectionDataset:
 
 def get_detection_dataloader(config, split: str = "test",
                              img_size: int = 512,
-                             image_source: str = "hazy") -> DataLoader:
+                             image_source: str = "hazy",
+                             shard_per_host: bool = True) -> DataLoader:
     """(reference: data/dataset.py:251-267; 512 is its fixed detection
-    resolution, overridable here)"""
+    resolution, overridable here). `shard_per_host=False` gives every host
+    the full dataset (evaluation entry points use it so COCO scoring sees
+    all detections, not a shard)."""
     key = {"train": "train_path", "val": "val_path"}.get(split, "test_path")
     root = config["dataset"][key]
     ds = DetectionDataset(
@@ -132,5 +135,7 @@ def get_detection_dataloader(config, split: str = "test",
         ds, batch_size=max(config["dataset"]["batch_size"] // 2, 1),
         shuffle=False, num_workers=config["dataset"]["num_workers"],
         drop_remainder=False)
+    if not shard_per_host:
+        return loader
     from adam_dehaze_tpu.parallel.multihost import shard_loader_for_host
     return shard_loader_for_host(loader)

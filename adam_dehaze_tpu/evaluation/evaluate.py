@@ -79,7 +79,9 @@ def evaluate_baseline_models(config, router=None, state=None) -> Dict[str, Dict[
         lpips_weights=config.get("loss", {}).get("lpips_weights") or None)
     branch_fns = {lvl: _apply_branch(router, state, lvl)
                   for lvl in ("low", "medium", "high")}
-    loader = get_dataloader(config, "test")
+    # Evaluation reads the FULL test set on every host (shard_per_host=False)
+    # so multi-process runs report global metrics, not shard-local ones.
+    loader = get_dataloader(config, "test", shard_per_host=False)
     for batch in loader:
         hazy = jnp.asarray(batch["hazy"])
         clear = batch["clear"]
@@ -100,6 +102,42 @@ def evaluate_baseline_models(config, router=None, state=None) -> Dict[str, Dict[
     return avg
 
 
+def evaluate_fixed_branch(config, router=None, state=None) -> Dict[str, Dict[str, float]]:
+    """Fixed-pipeline baselines: run EACH single branch on ALL test traffic
+    (no routing at all). This is the quality side of the reference's central
+    adaptive-vs-fixed claim (reference README.md:146-149: adaptive matches
+    fixed-complex quality at −20% inference time / 92 G vs 150 G FLOPs); the
+    cost side is bench.py's `fixed_all_high_ms_per_image`.
+
+    Returns {"fixed_low": {psnr, ssim, ...}, "fixed_medium": ...,
+    "fixed_high": ...} — overall averages over the WHOLE test set, directly
+    comparable with the adaptive row's per-category mean."""
+    if router is None:
+        router, state = _load_joint(config)
+    branch_fns = {lvl: _apply_branch(router, state, lvl)
+                  for lvl in ("low", "medium", "high")}
+    accs = {lvl: ImageQualityMetrics(
+        image_shape=(1, config["dataset"]["img_size"],
+                     config["dataset"]["img_size"], 3),
+        lpips_weights=config.get("loss", {}).get("lpips_weights") or None)
+        for lvl in branch_fns}
+    loader = get_dataloader(config, "test", shard_per_host=False)
+    for batch in loader:
+        hazy = jnp.asarray(batch["hazy"])
+        clear = batch["clear"]
+        mask = batch["mask"]
+        for lvl, fn in branch_fns.items():
+            out = np.asarray(fn(hazy))
+            accs[lvl].add_batch(out[mask], clear[mask], "overall")
+    results = {}
+    for lvl, iq in accs.items():
+        avg = iq.compute_averages()
+        results[f"fixed_{lvl}"] = avg.get("overall", {})
+        psnr = results[f"fixed_{lvl}"].get("psnr", float("nan"))
+        print(f"  fixed {lvl:<6} on ALL traffic: PSNR {psnr:.2f} dB")
+    return results
+
+
 def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str, float]]:
     """Full adaptive path: classifier -> router -> blend
     (reference: evaluate.py:94-177)."""
@@ -112,7 +150,7 @@ def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str,
     apply_fn = jax.jit(lambda v, x: router.apply(v, x, train=False))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    loader = get_dataloader(config, "test")
+    loader = get_dataloader(config, "test", shard_per_host=False)
     vis_done = False
     for batch in loader:
         hazy = jnp.asarray(batch["hazy"])
@@ -224,7 +262,7 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
     dehaze_fn = jax.jit(lambda x: router.apply(variables, x, train=False))
     integrated = create_integrated_system(dehaze_fn, det_model)
 
-    loader = get_dataloader(config, "test")
+    loader = get_dataloader(config, "test", shard_per_host=False)
     merged_gt, name_to_id = _merge_annotations(
         config["evaluation"].get("annotation_paths"))
     if merged_gt is None:
@@ -295,7 +333,9 @@ def run_comprehensive_evaluation(config, router=None, state=None) -> Dict[str, A
     baseline_results = evaluate_baseline_models(config, router, state)
     print("\n2. Evaluating Adaptive Framework:")
     joint_results = evaluate_joint_model(config, router, state)
-    print("\n3. Evaluating Impact on Object Detection:")
+    print("\n3. Evaluating Fixed-Pipeline Baselines (each branch on ALL traffic):")
+    fixed_results = evaluate_fixed_branch(config, router, state)
+    print("\n4. Evaluating Impact on Object Detection:")
     detection_results = evaluate_object_detection(config, router, state)
 
     def _avg_psnr(res):
@@ -306,28 +346,48 @@ def run_comprehensive_evaluation(config, router=None, state=None) -> Dict[str, A
 
     baseline_avg_psnr = _avg_psnr(baseline_results)
     joint_avg_psnr = _avg_psnr(joint_results)
+    best_fixed = max(
+        (v.get("psnr", float("-inf")) for v in fixed_results.values()),
+        default=float("nan"))
     hazy_map = detection_results["hazy"]["overall"].get("mAP", 0.0)
     dehazed_map = detection_results["dehazed"]["overall"].get("mAP", 0.0)
     detection_improvement = ((dehazed_map - hazy_map) / hazy_map * 100
                              if hazy_map > 0 else 0.0)
 
-    print(f"\n4. Comparison Summary:")
+    print(f"\n5. Comparison Summary:")
     print(f"  Baseline Models Avg PSNR: {baseline_avg_psnr:.2f} dB")
     print(f"  Adaptive Framework Avg PSNR: {joint_avg_psnr:.2f} dB")
+    print(f"  Best Fixed-Branch PSNR (all traffic): {best_fixed:.2f} dB")
     print(f"  Detection mAP hazy={hazy_map:.4f} dehazed={dehazed_map:.4f}")
+
+    # Per-intensity detection rows so the "dehazing flattens the density-
+    # degradation curve" claim is reproducible from the artifact.
+    by_level = {}
+    for lvl in ("low_intensity", "medium_intensity", "high_intensity"):
+        row = {}
+        for side in ("hazy", "dehazed"):
+            stats = detection_results[side].get(lvl)
+            if stats:
+                row[side] = stats
+        if row:
+            by_level[lvl] = row
 
     comprehensive_results = {
         "baseline": baseline_results,
         "joint": joint_results,
+        "fixed": fixed_results,
         "detection": {
             "hazy": detection_results["hazy"]["overall"],
             "dehazed": detection_results["dehazed"]["overall"],
+            "by_level": by_level,
             "improvement_percent": detection_improvement,
         },
         "comparison": {
             "baseline_avg_psnr": baseline_avg_psnr,
             "joint_avg_psnr": joint_avg_psnr,
             "psnr_improvement": joint_avg_psnr - baseline_avg_psnr,
+            "best_fixed_psnr": best_fixed,
+            "adaptive_vs_best_fixed_psnr": joint_avg_psnr - best_fixed,
         },
     }
     out_path = os.path.join(config["evaluation"]["results_dir"],

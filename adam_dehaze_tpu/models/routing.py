@@ -330,13 +330,16 @@ def make_device_binned_infer(
         chunk_cls = cls_of_slot.reshape(k_chunks, b)[:, 0]
 
         out0 = jnp.zeros((n + 1,) + x.shape[1:], x.dtype)
-        noop = [lambda img: jnp.zeros(img.shape, img.dtype)]
+        # lax.switch needs identical output avals in every branch: cast each
+        # branch (the s2d applies emit float32 regardless of input dtype) to
+        # the input dtype inside its switch arm so a bf16 batch still routes.
+        cases = [lambda img, f=f: f(img).astype(x.dtype) for f in branch_list]
+        cases.append(lambda img: jnp.zeros(img.shape, x.dtype))
 
         def body(out, inp):
             src_c, dst_c, cls_c = inp
-            y = jax.lax.switch(cls_c, branch_list + noop,
-                               jnp.take(x, src_c, axis=0))
-            return out.at[dst_c].set(y.astype(x.dtype)), None
+            y = jax.lax.switch(cls_c, cases, jnp.take(x, src_c, axis=0))
+            return out.at[dst_c].set(y), None
 
         out, _ = jax.lax.scan(
             body, out0,

@@ -92,7 +92,10 @@ def shard_loader_for_host(loader):
         return loader
     from adam_dehaze_tpu.data.dataset import DataLoader
     ds = HostShardedDataset(loader.dataset)
+    # Derive the per-host seed from the loader's configured seed so the
+    # multi-host shuffle order stays reproducible from config['seed'].
+    base_seed = getattr(loader, "seed", 0) or 0
     return DataLoader(ds, batch_size=loader.batch_size,
                       shuffle=loader.shuffle, num_workers=loader.num_workers,
                       drop_remainder=loader.drop_remainder,
-                      seed=1000 * jax.process_index())
+                      seed=base_seed + 1000 * jax.process_index())

@@ -111,27 +111,57 @@ class AdaptiveDehazer:
         out, intensity, _ = self._engines[key](jnp.asarray(images))
         return np.asarray(out), np.asarray(intensity)
 
+    # Batch-size buckets for shape-robust streaming: ragged traffic is padded
+    # up to the nearest bucket so every dispatch reuses a precompiled program
+    # (route_device_binned_stream retraced per input shape before; round-2
+    # verdict item #5). Same ladder as BinnedAdaptiveEngine's default.
+    STREAM_BUCKETS = (1, 2, 4, 8, 16, 32, 48, 64)
+
+    def _bucket_batch(self, n: int, buckets) -> int:
+        for b in buckets:
+            if b >= n:
+                return b
+        m = buckets[-1]
+        return -(-n // m) * m  # multiples of the largest bucket beyond it
+
     def route_device_binned_stream(self, batches, chunk: int = 16,
-                                   depth: int = 2):
+                                   depth: int = 2, buckets=None):
         """Highest-throughput serving: one on-device binned program per
         batch, enqueued asynchronously `depth` batches deep — no host label
         sync at all, so dispatch overhead and result fetch overlap device
         compute (cf. route_hard_stream, which pays a label round-trip per
-        batch). Yields (dehazed np.ndarray, intensity np.ndarray)."""
+        batch). Ragged batches are padded to the nearest size in `buckets`
+        (pad rows repeat the last image and are sliced off the results), so
+        production traffic never recompiles. Yields
+        (dehazed np.ndarray, intensity np.ndarray)."""
         key = f"device_binned_{chunk}"
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import make_device_binned_infer
             self._engines[key] = jax.jit(make_device_binned_infer(
                 self._classifier_apply(), self._branch_applies(), chunk=chunk))
         fn = self._engines[key]
+        buckets = tuple(sorted(buckets or self.STREAM_BUCKETS))
         pending = []
+
+        def dispatch(x):
+            x = jnp.asarray(x)
+            n = x.shape[0]
+            b = self._bucket_batch(n, buckets)
+            if b != n:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (b - n,) + x.shape[1:])])
+            return fn(x), n
+
+        def fetch(item):
+            (out, intensity, _), n = item
+            return np.asarray(out)[:n], np.asarray(intensity)[:n]
+
         for x in batches:
-            pending.append(fn(jnp.asarray(x)))  # async dispatch
-            if len(pending) > depth:
-                out, intensity, _ = pending.pop(0)
-                yield np.asarray(out), np.asarray(intensity)
-        for out, intensity, _ in pending:
-            yield np.asarray(out), np.asarray(intensity)
+            pending.append(dispatch(x))  # async
+            if len(pending) >= depth:
+                yield fetch(pending.pop(0))
+        for item in pending:
+            yield fetch(item)
 
     def route_switch(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """Per-image lax.switch serving (lowest single-image latency)."""

@@ -66,6 +66,30 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
         restore_args = jax.tree_util.tree_map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
         state = pytree_ckptr.restore(path, restore_args=restore_args)
+        if target is not None:
+            # The raw PyTree restore skips the structure/dtype validation a
+            # targeted StandardCheckpointer restore would do — replay it so a
+            # stale/mismatched checkpoint fails loudly instead of loading.
+            tgt_paths = {jax.tree_util.keystr(k): v for k, v in
+                         jax.tree_util.tree_leaves_with_path(target)}
+            got_paths = {jax.tree_util.keystr(k): v for k, v in
+                         jax.tree_util.tree_leaves_with_path(state)}
+            missing = sorted(set(tgt_paths) - set(got_paths))
+            if missing:
+                raise ValueError(
+                    f"checkpoint {path} missing keys vs target: {missing[:5]}"
+                    f"{'...' if len(missing) > 5 else ''}")
+            for kstr, tleaf in tgt_paths.items():
+                got = got_paths[kstr]
+                tshape = getattr(tleaf, "shape", None)
+                if tshape is not None and tuple(got.shape) != tuple(tshape):
+                    raise ValueError(
+                        f"checkpoint {path} leaf {kstr}: shape "
+                        f"{tuple(got.shape)} != target {tuple(tshape)}")
+            state = jax.tree_util.tree_map(
+                lambda got, t: got.astype(t.dtype)
+                if hasattr(t, "dtype") and got.dtype != t.dtype else got,
+                state, target)
     metrics = {}
     mpath = path + ".metrics.json"
     if os.path.exists(mpath):
@@ -312,6 +336,129 @@ def load_torch_mobilenet_v3(pth_path_or_sd, flax_params, flax_batch_stats,
     return params, stats
 
 
+def load_torch_mobilenet_v2(pth_path_or_sd, flax_params, flax_batch_stats):
+    """Convert torchvision mobilenet_v2 `features` weights into our
+    MobileNetV2 trees (reference classifier backbone, classifier.py:52-55).
+
+    torchvision layout: features.0 ConvBNReLU stem; features.1..17
+    InvertedResidual (`conv.0.0/conv.0.1` expand ConvBN when t != 1,
+    depthwise ConvBN, project conv + BN); features.18 1x1 ConvBNReLU."""
+    import copy
+    from adam_dehaze_tpu.nn.mobilenet import _V2_CONFIG
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+    assigns_p, assigns_s = [], []
+
+    def convbn(conv_key, bn_key, fp_conv, fp_bn):
+        assigns_p.append((fp_conv + ("kernel",),
+                          convert_torch_conv(sd[conv_key])))
+        _bn_entries(sd, bn_key, fp_bn, fp_bn, assigns_p, assigns_s)
+
+    convbn("features.0.0.weight", "features.0.1", ("Conv_0",),
+           ("BatchNorm_0",))
+    ti = 1
+    for t, _c, n, _s in _V2_CONFIG:
+        for _ in range(n):
+            fp = (f"InvertedResidual_{ti - 1}",)
+            fj = 0
+            if t != 1:
+                convbn(f"features.{ti}.conv.0.0.weight",
+                       f"features.{ti}.conv.0.1",
+                       fp + ("Conv_0",), fp + ("BatchNorm_0",))
+                dw, fj = 1, 1
+            else:
+                dw = 0
+            convbn(f"features.{ti}.conv.{dw}.0.weight",
+                   f"features.{ti}.conv.{dw}.1",
+                   fp + (f"Conv_{fj}",), fp + (f"BatchNorm_{fj}",))
+            convbn(f"features.{ti}.conv.{dw + 1}.weight",
+                   f"features.{ti}.conv.{dw + 2}",
+                   fp + (f"Conv_{fj + 1}",), fp + (f"BatchNorm_{fj + 1}",))
+            ti += 1
+    convbn(f"features.{ti}.0.weight", f"features.{ti}.1", ("Conv_1",),
+           ("BatchNorm_1",))
+
+    for path, value in assigns_p:
+        _set(params, path, value)
+    for path, value in assigns_s:
+        _set(stats, path, value)
+    return params, stats
+
+
+def load_torch_efficientnet(pth_path_or_sd, flax_params, flax_batch_stats,
+                            variant: str = "b0"):
+    """Convert a timm-layout EfficientNet-B0..B3 state_dict into our
+    EfficientNet trees (reference classifier backbone via timm,
+    classifier.py:38-50). Returns (params, batch_stats) copies.
+
+    timm layout: conv_stem/bn1; blocks.0.i DepthwiseSeparableConv (conv_dw,
+    bn1, se.conv_reduce/expand, conv_pw, bn2); blocks.1..6.i
+    InvertedResidual (conv_pw, bn1, conv_dw, bn2, se.*, conv_pwl, bn3);
+    conv_head/bn2. timm's default pad_type is static symmetric padding
+    (((s-1) + (k-1)) // 2), which equals our k//2 for every block shape, so
+    conversion is numerically exact up to BN epsilon (we keep the paper's
+    1e-3; timm defaults to torch's 1e-5 — not recorded in state_dicts,
+    effect < 1e-3 relative on normalized activations)."""
+    import copy
+    from adam_dehaze_tpu.nn.efficientnet import (
+        _B0_CONFIG,
+        round_filters,
+        round_repeats,
+        SCALING,
+    )
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
+    stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
+    _width, depth = SCALING[variant]
+    assigns_p, assigns_s = [], []
+
+    def conv(key, fp):
+        assigns_p.append((fp + ("kernel",), convert_torch_conv(sd[key])))
+
+    def bn(key, fp):
+        _bn_entries(sd, key, fp, fp, assigns_p, assigns_s)
+
+    conv("conv_stem.weight", ("Conv_0",))
+    bn("bn1", ("BatchNorm_0",))
+    mb = 0
+    for stage, (expand, _ch, repeats, _stride, _k) in enumerate(_B0_CONFIG):
+        for i in range(round_repeats(repeats, depth)):
+            tp = f"blocks.{stage}.{i}"
+            fp = (f"MBConv_{mb}",)
+            se = fp + ("SqueezeExcite_0",)
+            if expand == 1:
+                conv(f"{tp}.conv_dw.weight", fp + ("Conv_0",))
+                bn(f"{tp}.bn1", fp + ("BatchNorm_0",))
+                conv(f"{tp}.conv_pw.weight", fp + ("Conv_1",))
+                bn(f"{tp}.bn2", fp + ("BatchNorm_1",))
+            else:
+                conv(f"{tp}.conv_pw.weight", fp + ("Conv_0",))
+                bn(f"{tp}.bn1", fp + ("BatchNorm_0",))
+                conv(f"{tp}.conv_dw.weight", fp + ("Conv_1",))
+                bn(f"{tp}.bn2", fp + ("BatchNorm_1",))
+                conv(f"{tp}.conv_pwl.weight", fp + ("Conv_2",))
+                bn(f"{tp}.bn3", fp + ("BatchNorm_2",))
+            for t_name, f_name in (("conv_reduce", "Conv_0"),
+                                   ("conv_expand", "Conv_1")):
+                conv(f"{tp}.se.{t_name}.weight", se + (f_name,))
+                assigns_p.append((se + (f_name, "bias"),
+                                  sd[f"{tp}.se.{t_name}.bias"]))
+            mb += 1
+    conv("conv_head.weight", ("Conv_1",))
+    bn("bn2", ("BatchNorm_1",))
+
+    for path, value in assigns_p:
+        _set(params, path, value)
+    for path, value in assigns_s:
+        _set(stats, path, value)
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # Branch / classifier / joint converters (the reference's actual trained
 # artifacts: classifier, three branch models, joint 5-state checkpoint —
@@ -514,18 +661,31 @@ def load_torch_classifier(pth_path_or_sd, flax_params, flax_batch_stats,
     sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
           else pth_path_or_sd)
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    if not model_name.startswith("resnet"):
-        raise NotImplementedError(
-            f"classifier conversion implemented for resnet backbones, "
-            f"got {model_name}")
     backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
                    if k.startswith("backbone.")}
-    stage_sizes = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
-                   "resnet50": (3, 4, 6, 3)}[model_name]
-    bb_name = next(k for k in flax_params if k.startswith("ResNet"))
-    bb_params, bb_stats = load_torch_resnet(
-        backbone_sd, flax_params[bb_name], flax_batch_stats[bb_name],
-        stage_sizes=stage_sizes, bottleneck=(model_name == "resnet50"))
+    if model_name.startswith("resnet"):
+        stage_sizes = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                       "resnet50": (3, 4, 6, 3)}[model_name]
+        bb_name = next(k for k in flax_params if k.startswith("ResNet"))
+        bb_params, bb_stats = load_torch_resnet(
+            backbone_sd, flax_params[bb_name], flax_batch_stats[bb_name],
+            stage_sizes=stage_sizes, bottleneck=(model_name == "resnet50"))
+    elif model_name == "mobilenet_v2":
+        bb_name = next(k for k in flax_params if k.startswith("MobileNetV2"))
+        bb_params, bb_stats = load_torch_mobilenet_v2(
+            backbone_sd, flax_params[bb_name], flax_batch_stats[bb_name])
+    elif model_name.startswith("mobilenet_v3"):
+        bb_name = next(k for k in flax_params if k.startswith("MobileNetV3"))
+        bb_params, bb_stats = load_torch_mobilenet_v3(
+            backbone_sd, flax_params[bb_name], flax_batch_stats[bb_name],
+            variant=model_name.rsplit("_", 1)[-1])
+    elif model_name.startswith("efficientnet_"):
+        bb_name = next(k for k in flax_params if k.startswith("EfficientNet"))
+        bb_params, bb_stats = load_torch_efficientnet(
+            backbone_sd, flax_params[bb_name], flax_batch_stats[bb_name],
+            variant=model_name.rsplit("_", 1)[-1])
+    else:
+        raise ValueError(f"unknown classifier backbone: {model_name}")
     params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_params))
     stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, flax_batch_stats))
     params[bb_name] = bb_params

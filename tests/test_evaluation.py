@@ -58,10 +58,21 @@ def test_run_comprehensive_evaluation(synth_root, tmp_path):
     from adam_dehaze_tpu.evaluation.evaluate import run_comprehensive_evaluation
     cfg = eval_config(synth_root, str(tmp_path))
     results = run_comprehensive_evaluation(cfg)
-    # Reference JSON schema (reference: evaluate.py:522-538).
-    assert set(results) == {"baseline", "joint", "detection", "comparison"}
+    # Reference JSON schema (reference: evaluate.py:522-538) + the fixed-
+    # pipeline rows (adaptive-vs-fixed framing, reference README.md:146-149).
+    assert set(results) == {"baseline", "joint", "fixed", "detection",
+                            "comparison"}
     assert "psnr_improvement" in results["comparison"]
     assert "improvement_percent" in results["detection"]
+    assert set(results["fixed"]) == {"fixed_low", "fixed_medium", "fixed_high"}
+    for row in results["fixed"].values():
+        assert "psnr" in row and "ssim" in row
+        # Each fixed branch scored the WHOLE test set (test split holds
+        # 1 image per class: n_per_class=4 x 0.25 test fraction).
+        assert row["samples"] == 3
+    assert "best_fixed_psnr" in results["comparison"]
+    assert "adaptive_vs_best_fixed_psnr" in results["comparison"]
+    assert "by_level" in results["detection"]
     out_file = os.path.join(cfg["evaluation"]["results_dir"],
                             "comprehensive_results.json")
     assert os.path.exists(out_file)

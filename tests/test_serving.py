@@ -90,3 +90,40 @@ def test_serving_device_binned_stream(experiment, rng):
     for (yd, idir), (ys, istr) in zip(direct, streamed):
         np.testing.assert_array_equal(idir, istr)
         np.testing.assert_allclose(yd, ys, atol=1e-6)
+
+
+def test_serving_device_binned_stream_ragged(experiment, rng):
+    """Ragged traffic pads to the bucket ladder: every batch size maps onto a
+    precompiled program (round-2 verdict item #5 — no per-shape retrace), and
+    pad rows are sliced out of the yielded results."""
+    import jax
+
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    sizes = [8, 7, 3, 1, 7, 3, 8, 1]
+    batches = [rng.random((n, 32, 32, 3), dtype=np.float32) for n in sizes]
+
+    # Count traces of the underlying engine: each jit trace of the device-
+    # binned program bumps the counter; repeated sizes must not re-trace.
+    from adam_dehaze_tpu.models.routing import make_device_binned_infer
+    traces = []
+    inner = make_device_binned_infer(dehazer._classifier_apply(),
+                                     dehazer._branch_applies(), chunk=2)
+
+    def counted(x, intensity=None):
+        traces.append(x.shape)
+        return inner(x, intensity)
+
+    dehazer._engines["device_binned_2"] = jax.jit(counted)
+
+    streamed = list(dehazer.route_device_binned_stream(
+        batches, chunk=2, depth=2, buckets=(1, 2, 4, 8)))
+    assert [out.shape[0] for out, _ in streamed] == sizes
+    # Distinct padded shapes only: {8, 8(7->8), 4(3->4), 1} -> 3 traces.
+    assert len(traces) == 3, traces
+    assert sorted(set(s[0] for s in traces)) == [1, 4, 8]
+
+    # Results match the unpadded per-batch engine calls.
+    for (out, inten), b in zip(streamed, batches):
+        yd, idir = dehazer.route_device_binned(b, chunk=2)
+        np.testing.assert_array_equal(inten, idir)
+        np.testing.assert_allclose(out, yd, atol=1e-6)
