@@ -53,39 +53,55 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _conv_taps(acc_dtype, win0, win1, taps, m):
+def _conv_taps(acc_dtype, win0, win1, tap_fn, co, m):
     """One s2d conv on a flat strip: 4 tap matmuls, f32 accumulation.
 
     win0/win1: (m + GUARD, ci) windows starting at rows r and r + STRIDE of
-    the source buffer; tap v is a static in-register slice of the window.
-    taps: (4, ci, co) tap matrices in (u*2 + v) order. Returns (m, co) f32.
+    the source buffer. Matmul-first formulation: the +1 column tap is a
+    single `pltpu.roll` of the (m + GUARD, co) matmul RESULT, not of the
+    window — the roll then always runs at the co lane width (128 here;
+    sub-128 `tpu.dynamic_rotate` is unimplemented in Mosaic and the s2d
+    input window is ci=12), and a static unaligned value slice instead
+    would make Mosaic emit per-vreg shuffle code that explodes lowering to
+    minutes. Row shifts commute with the matmul because the contraction is
+    over lanes only. The wrapped row lands beyond m (GUARD >= 1) and is
+    never read. tap_fn(t) returns the 2D (ci, co) tap matrix for
+    t = u*2 + v (a direct 2D ref read — Mosaic only lowers 2D gathers).
+    Returns (m, co) f32.
     """
-    acc = jnp.zeros((m, taps.shape[2]), acc_dtype)
+    acc = jnp.zeros((m, co), acc_dtype)
     for u, win in ((0, win0), (1, win1)):
-        for v in (0, 1):
-            inp = win[v:v + m, :]
-            acc = acc + jnp.dot(inp, taps[u * 2 + v],
-                                preferred_element_type=acc_dtype)
+        acc = acc + jnp.dot(win[0:m, :], tap_fn(u * 2),
+                            preferred_element_type=acc_dtype)
+        y1 = jnp.dot(win, tap_fn(u * 2 + 1), preferred_element_type=acc_dtype)
+        # shifted[j] = y1[j + 1]; pltpu.roll wants a non-negative shift, so
+        # roll by len-1 (circularly identical to -1).
+        acc = acc + pltpu.roll(y1, y1.shape[0] - 1, 0)[0:m, :]
     return acc
 
 
-def _regroup(acc, stride: int, m_out: int, co: int):
+def _regroup(acc, stride: int, m_out: int, g: int):
     """Phase regroup: out[q, blk(a,b)] = yb[q + a*stride + b - 1, blk(a,b)].
 
-    acc: (m_yb, co) f32 yb strip whose row 0 is yb flat row 0 of the strip;
-    returns (m_out, co). The (0,0) group needs yb row -1 for q=0 — that value
-    only lands in masked border columns, so an 8-row zero guard pad keeps the
-    slice in range without affecting results.
-    """
-    g = co // 4
-    accg = jnp.pad(acc, ((8, 0), (0, 0)))
-    parts = []
-    for a in (0, 1):
-        for b in (0, 1):
-            d = 8 + a * stride + b - 1
-            blk = (2 * a + b) * g
-            parts.append(accg[d:d + m_out, blk:blk + g])
-    return jnp.concatenate(parts, axis=-1)
+    acc: (m_yb = m_out + stride [+pad], lanes) f32 yb strip with channel
+    groups of width g (lanes may exceed 4*g when the logical co is padded
+    to 128 — lanes >= 4*g get the p11 candidate, garbage the caller slices
+    off). One `pltpu.roll` gives the b=0 groups' -1 offset
+    (accr[q] = acc[q-1]); the a=1 groups read at +stride, an aligned slice.
+    The four full-width candidates are merged with lane-index selects —
+    elementwise ops, no unaligned slices, no per-vreg shuffle explosions.
+    The rolled row 0 wraps garbage into q=0, which is a masked border
+    column."""
+    lanes = acc.shape[1]
+    accr = pltpu.roll(acc, 1, 0)  # accr[q] = acc[q - 1]
+    p00 = accr[0:m_out, :]
+    p01 = acc[0:m_out, :]
+    p10 = accr[stride:stride + m_out, :]
+    p11 = acc[stride:stride + m_out, :]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (m_out, lanes), 1) // g
+    return jnp.where(blk == 0, p00,
+                     jnp.where(blk == 1, p01,
+                               jnp.where(blk == 2, p10, p11)))
 
 
 def _lightweight_kernel(xp_ref, kin_ref, kres_ref, kmid_ref, kout_ref,
@@ -114,12 +130,11 @@ def _lightweight_kernel(xp_ref, kin_ref, kres_ref, kmid_ref, kout_ref,
         w1 = src_ref[pl.ds(r0 + stride, m_yb + guard), :]
         return w0, w1
 
-    def layer(src_ref, dst_ref, taps, shift, relu, skip: bool):
-        co = taps.shape[2]
+    def layer(src_ref, dst_ref, tap_fn, co, shift, relu, skip: bool):
         for s in range(n_strips):
             w0, w1 = load_windows(src_ref, s)
-            acc = _conv_taps(jnp.float32, w0, w1, taps, m_yb)
-            y = _regroup(acc, stride, m_out, co) + shift[None, :co]
+            acc = _conv_taps(jnp.float32, w0, w1, tap_fn, co, m_yb)
+            y = _regroup(acc, stride, m_out, co // 4) + shift[0:1, :co]
             out_base = (1 + s * strip) * stride
             if skip:
                 y = y + dst_ref[pl.ds(out_base, m_out), :].astype(jnp.float32)
@@ -134,25 +149,33 @@ def _lightweight_kernel(xp_ref, kin_ref, kres_ref, kmid_ref, kout_ref,
         r0 = s * strip * stride
         w0 = xp_ref[0, pl.ds(r0, m_yb + guard), :]
         w1 = xp_ref[0, pl.ds(r0 + stride, m_yb + guard), :]
-        acc = _conv_taps(jnp.float32, w0, w1, kin_ref[...], m_yb)
-        y = jax.nn.relu(_regroup(acc, stride, m_out, c4) + sh_ref[0][None, :])
+        acc = _conv_taps(jnp.float32, w0, w1, lambda t: kin_ref[t], c4, m_yb)
+        y = jax.nn.relu(_regroup(acc, stride, m_out, c4 // 4) + sh_ref[0:1, :])
         y = jnp.where(valid, y, 0.0)
         b_ref[pl.ds((1 + s * strip) * stride, m_out), :] = y.astype(dtype)
 
     # Residual blocks: conv_a B->A (relu), conv_b A->(+B, relu) in place.
     for r in range(n_res):
-        layer(b_ref, a_ref, kres_ref[2 * r], sh_ref[1 + 2 * r], True, False)
-        layer(a_ref, b_ref, kres_ref[2 * r + 1], sh_ref[2 + 2 * r], True, True)
+        layer(b_ref, a_ref, lambda t, rr=2 * r: kres_ref[rr, t], c4,
+              sh_ref[1 + 2 * r:2 + 2 * r, :], True, False)
+        layer(a_ref, b_ref, lambda t, rr=2 * r + 1: kres_ref[rr, t], c4,
+              sh_ref[2 + 2 * r:3 + 2 * r, :], True, True)
 
     # Mid conv B->A (relu).
-    layer(b_ref, a_ref, kmid_ref[...], sh_ref[1 + 2 * n_res], True, False)
+    layer(b_ref, a_ref, lambda t: kmid_ref[t], c4,
+          sh_ref[1 + 2 * n_res:2 + 2 * n_res, :], True, False)
 
-    # Output conv + sigmoid + skip_alpha blend, straight to out_ref.
+    # Output conv + sigmoid + skip_alpha blend, straight to out_ref. kout
+    # is zero-padded to c4 output lanes at build time so every matmul and
+    # roll runs at 128 lanes; the regroup keeps the REAL group width
+    # (ci_in // 4) and the pad lanes are sliced off before the store.
     alpha = alpha_ref[0, 0]
     for s in range(n_strips):
         w0, w1 = load_windows(a_ref, s)
-        acc = _conv_taps(jnp.float32, w0, w1, kout_ref[...], m_yb)
-        y = _regroup(acc, stride, m_out, ci_in) + sh_ref[2 + 2 * n_res][None, :ci_in]
+        acc = _conv_taps(jnp.float32, w0, w1, lambda t: kout_ref[t], c4,
+                         m_yb)
+        y = (_regroup(acc, stride, m_out, ci_in // 4)
+             + sh_ref[2 + 2 * n_res:3 + 2 * n_res, :])[:, :ci_in]
         y = jax.nn.sigmoid(y)
         out_base = (1 + s * strip) * stride
         x2 = xp_ref[0, pl.ds(out_base, m_out), :].astype(jnp.float32)
@@ -193,7 +216,7 @@ def _run_chain(xp, kin, kres, kmid, kout, shifts, alpha, *, h2, w2, n_res,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, c4, c4), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, c4, ci_in), lambda i: (0, 0, 0),
+            pl.BlockSpec((4, c4, c4), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * n_res + 3, c4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -213,7 +236,8 @@ def _run_chain(xp, kin, kres, kmid, kout, shifts, alpha, *, h2, w2, n_res,
 
 
 def make_lightweight_chain_apply(variables, dtype=jnp.bfloat16,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 strip: Optional[int] = None):
     """Exact eval-mode serving fn for `LightweightDehazeModel`
     (models/branches.py:32-55) as ONE fused Pallas program per image.
 
@@ -260,6 +284,9 @@ def make_lightweight_chain_apply(variables, dtype=jnp.bfloat16,
     kmid = taps(k_mid)
     kout = taps(k_out)
     ci_in = kin.shape[1]
+    # Pad the output conv to c4 lanes so its matmuls/rolls run at full lane
+    # width in the kernel (sub-128 rotates are unimplemented in Mosaic).
+    kout = jnp.pad(kout, ((0, 0), (0, 0), (0, c4 - kout.shape[2])))
     shift_rows = [jnp.tile(t_in, 4)] + res_shifts + [jnp.tile(t_mid, 4)]
     shift_rows.append(jnp.pad(jnp.tile(t_out, 4), (0, c4 - 4 * t_out.shape[0])))
     shifts = jnp.stack(shift_rows).astype(jnp.float32)
@@ -274,7 +301,7 @@ def make_lightweight_chain_apply(variables, dtype=jnp.bfloat16,
         xp = jnp.pad(xp, ((0, 0), (0, 8), (0, 0))).astype(dtype)
         out = _run_chain(xp, kin, kres, kmid, kout, shifts, alpha,
                          h2=h2, w2=w2, n_res=n_res, c4=c4,
-                         interpret=interpret)
+                         interpret=interpret, strip=strip)
         out = out[:, :(h2 + 2) * stride, :].reshape(n, h2 + 2, stride, ci_in)
         out = out[:, 1:1 + h2, 1:1 + w2, :]
         return depth_to_space(out).astype(jnp.float32)

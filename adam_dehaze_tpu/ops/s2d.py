@@ -175,6 +175,115 @@ def s2d_down4(x2: jax.Array, k2: jax.Array,
     return y
 
 
+def s2d_stem7_kernel(w: jax.Array) -> jax.Array:
+    """Transform a (7, 7, cin, cout) stride-2 pad-3 stem kernel (the
+    torchvision ResNet stem, nn/resnet.py:95) into a (4, 4, 4*cin, cout)
+    stride-1 s2d kernel. Like `s2d_down4_kernel`, the stride-2 output grid
+    IS the s2d grid, so the result leaves the s2d domain:
+
+        y[m] = sum_{t=0..6} x[2m + t - 3] . W[t],   raw rows 2m-3 .. 2m+3
+        span s2d rows m-2 .. m+1;  tap t = 2u + alpha - 1  (u in 0..3).
+
+    7 of 8 (u, alpha) slots are live per dimension => 49/64 dense fill —
+    only 1.31x MAC waste (vs 5.2x for the stride-1 k7 transform that round 2
+    measured and rejected), with every issued MAC on the stride-2 output
+    grid instead of the 4x-larger input grid."""
+    ci, co = w.shape[2], w.shape[3]
+    idx = np.full((4, 2), 7, np.int32)  # 7 == zero slot
+    for u in range(4):
+        for al in (0, 1):
+            t = 2 * u + al - 1
+            if 0 <= t <= 6:
+                idx[u, al] = t
+    wpad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    ii = jnp.asarray(idx)  # (4, 2)
+    kk = wpad[ii[:, :, None, None], ii[None, None, :, :]]
+    # (u, al, v, be, ci, co) -> (u, v, al, be, ci, co) -> (4, 4, 4ci, co)
+    kk = kk.transpose(0, 2, 1, 3, 4, 5)
+    return kk.reshape(4, 4, 4 * ci, co)
+
+
+def s2d_stem7(x2: jax.Array, k2: jax.Array,
+              shift: Optional[jax.Array] = None,
+              relu: bool = False) -> jax.Array:
+    """Stride-2 k7 pad-3 stem conv consuming an s2d activation, emitting a
+    PLAIN activation on the half-res grid (taps span s2d rows m-2..m+1 =>
+    asymmetric (2, 1) padding)."""
+    y = jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if shift is not None:
+        y = y + shift.astype(y.dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
+def make_classifier_s2d_apply(classifier, variables, dtype=jnp.bfloat16):
+    """Exact eval-mode serving path for `FogIntensityClassifier` with a
+    resnet backbone (models/classifier.py): the 7x7/s2 stem — measured at 8%
+    of peak in the canonical layout (benchmarks/PROFILE.md stage table) —
+    consumes the s2d layout natively via `s2d_stem7`; everything after the
+    stem (maxpool, residual stages, pool, head) runs on the canonical flax
+    blocks. Returns fn(x) -> (logits, features), numerically equal to
+    `classifier.apply(variables, x, train=False)` up to dtype rounding."""
+    from flax import linen as nn
+
+    from adam_dehaze_tpu.nn.resnet import BasicBlock, Bottleneck
+
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    bb_name = next(k for k in p if k.startswith("ResNet"))
+    bbp, bbs = p[bb_name], bs[bb_name]
+
+    k_stem, t_stem = _fold_bn(
+        bbp["Conv_0"]["kernel"], bbp["BatchNorm_0"]["scale"],
+        bbp["BatchNorm_0"]["bias"], bbs["BatchNorm_0"]["mean"],
+        bbs["BatchNorm_0"]["var"])
+    k2 = s2d_stem7_kernel(k_stem).astype(dtype)
+
+    name = classifier.model_name
+    stage_sizes = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                   "resnet50": (3, 4, 6, 3)}[name]
+    bottleneck = name == "resnet50"
+    block_cls = Bottleneck if bottleneck else BasicBlock
+    block_name = "Bottleneck" if bottleneck else "BasicBlock"
+    widths = (64, 128, 256, 512)
+
+    d0k, d0b = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+    d1k, d1b = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+
+    def apply_fn(x):
+        x2 = space_to_depth(x.astype(dtype))
+        h = s2d_stem7(x2, k2, shift=t_stem, relu=True)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        bi = 0
+        for i, (n_blocks, w) in enumerate(zip(stage_sizes, widths)):
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                mod = block_cls(w, stride=stride, dtype=dtype)
+                sub = {"params": bbp[f"{block_name}_{bi}"],
+                       "batch_stats": bbs[f"{block_name}_{bi}"]}
+                h = mod.apply(sub, h, False)
+                bi += 1
+        feats = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
+        # Head in compute dtype (matches nn.Dense(dtype=dt) semantics).
+        hh = feats.astype(dtype) @ d0k.astype(dtype) + d0b.astype(dtype)
+        hh = jax.nn.relu(hh)
+        logits = hh @ d1k.astype(dtype) + d1b.astype(dtype)
+        return logits.astype(jnp.float32), feats
+
+    return apply_fn
+
+
+def make_classifier_serving_apply(classifier, variables, dtype=jnp.bfloat16):
+    """Fastest exact eval-mode apply for the fog classifier: s2d stem for
+    resnet backbones, canonical apply otherwise."""
+    if classifier.model_name.startswith("resnet"):
+        return make_classifier_s2d_apply(classifier, variables, dtype=dtype)
+    return lambda x: classifier.apply(variables, x)
+
+
 def s2d_up4(x: jax.Array, w: jax.Array,
             shift: Optional[jax.Array] = None,
             relu: bool = False) -> jax.Array:

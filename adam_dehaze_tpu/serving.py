@@ -75,7 +75,13 @@ class AdaptiveDehazer:
         sub = {"params": self._variables["params"]["classifier"],
                "batch_stats": self._variables["batch_stats"]["classifier"]}
         clf = self.router.classifier
-        return lambda x: clf.apply(sub, x)
+        # s2d-stem serving path for resnet backbones (exact; ops/s2d.py —
+        # the canonical 7x7/s2 stem measures ~8% of peak), canonical apply
+        # for the other backbone families.
+        from adam_dehaze_tpu.ops.s2d import make_classifier_serving_apply
+        dtype = (jnp.bfloat16 if self.config.get("tpu", {}).get(
+            "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32)
+        return make_classifier_serving_apply(clf, sub, dtype=dtype)
 
     def route_hard(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """Binned hard routing: each image pays only its own branch."""

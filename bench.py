@@ -97,7 +97,14 @@ def _trained_routing_inputs(bucket: int):
     in the round workspace). Returns (x_real (3*bucket,...), labels, acc)
     or None when the artifacts are absent (e.g. a fresh clone)."""
     import os
-    exp = os.environ.get("BENCH_EXPERIMENT", "experiments/full_system_r2")
+    exp = os.environ.get("BENCH_EXPERIMENT")
+    if exp is None:
+        for cand in ("experiments/full_system_r3", "experiments/full_system_r2"):
+            if os.path.isfile(os.path.join(cand, "config.yaml")):
+                exp = cand
+                break
+    if exp is None:
+        return None
     cfg_path = os.path.join(exp, "config.yaml")
     if not os.path.isfile(cfg_path):
         return None
@@ -156,10 +163,17 @@ def main():
     branch_vars = {n: m.init(jax.random.PRNGKey(i), dummy)
                    for i, (n, m) in enumerate(branches.items())}
 
-    from adam_dehaze_tpu.ops.s2d import make_serving_apply
+    from adam_dehaze_tpu.ops.s2d import (
+        make_classifier_serving_apply,
+        make_serving_apply,
+    )
     serving_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    classifier_apply = jax.jit(lambda x: classifier.apply(clf_vars, x))
+    # s2d-stem serving path for the resnet classifier (the 7x7/s2 stem runs
+    # at 8% of peak in the canonical layout; see ops/s2d.py:s2d_stem7).
+    clf_serving = make_classifier_serving_apply(classifier, clf_vars,
+                                                dtype=serving_dtype)
+    classifier_apply = jax.jit(clf_serving)
     # make_serving_apply: exact lane-aligned s2d path for the c=32 low
     # branch (ops/s2d.py; ~6x on v5e), canonical apply for medium/high.
     serving_applies = [
@@ -189,8 +203,7 @@ def main():
         # primary value (mode field records which engine produced it).
         try:
             dev_fn = jax.jit(make_device_binned_infer(
-                lambda im: classifier.apply(clf_vars, im),
-                serving_applies, chunk=bucket))
+                clf_serving, serving_applies, chunk=bucket))
             balanced_dev = jnp.asarray(balanced)
             per_iter_dev = _time(lambda: dev_fn(x, balanced_dev)[0])
             result["device_binned_ms_per_image"] = round(
@@ -336,8 +349,7 @@ def main():
 
         # Single-image serving latency through lax.switch (one branch/image).
         switch_fn = jax.jit(make_adaptive_infer(
-            lambda im: classifier.apply(clf_vars, im),
-            serving_applies, mode="switch"))
+            clf_serving, serving_applies, mode="switch"))
         x1 = x[:1]
         _sync(switch_fn(x1))
         lat = []

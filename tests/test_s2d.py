@@ -182,3 +182,70 @@ def test_general_s2d_primitives(key):
         s2d_attention(space_to_depth(xa), va["params"], 16,
                       dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_stem7_kernel_equals_stride2_conv(key):
+    """s2d_stem7(s2d(x), T(W)) == conv7x7 stride-2 pad-3 exactly (the
+    classifier stem algebra, ops/s2d.py:s2d_stem7_kernel)."""
+    from adam_dehaze_tpu.ops.s2d import s2d_stem7, s2d_stem7_kernel
+
+    x = jax.random.uniform(key, (2, 32, 40, 3), jnp.float32)
+    w = jax.random.normal(key, (7, 7, 3, 6), jnp.float32) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_stem7(space_to_depth(x), s2d_stem7_kernel(w))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_classifier_s2d_apply_exact(key):
+    """The s2d-stem classifier serving path reproduces the canonical
+    eval-mode (logits, features) of FogIntensityClassifier."""
+    from adam_dehaze_tpu.models.classifier import FogIntensityClassifier
+    from adam_dehaze_tpu.ops.s2d import make_classifier_serving_apply
+
+    clf = FogIntensityClassifier(model_name="resnet18")
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    vs = clf.init({"params": key, "dropout": jax.random.PRNGKey(2)}, x)
+    bs = jax.tree_util.tree_map(
+        lambda a: a + jax.random.uniform(jax.random.PRNGKey(3), a.shape) * 0.2,
+        vs["batch_stats"])
+    vs = {"params": vs["params"], "batch_stats": bs}
+
+    logits_ref, feats_ref = clf.apply(vs, x)
+    fn = make_classifier_serving_apply(clf, vs, dtype=jnp.float32)
+    logits, feats = fn(x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_ref),
+                               atol=1e-4)
+
+    # Non-resnet backbones fall back to the canonical apply.
+    clf2 = FogIntensityClassifier(model_name="mobilenet_v2")
+    v2 = clf2.init({"params": key, "dropout": jax.random.PRNGKey(2)}, x)
+    fn2 = make_classifier_serving_apply(clf2, v2, dtype=jnp.float32)
+    l2, f2 = fn2(x)
+    l2r, f2r = clf2.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l2r), atol=1e-6)
+
+
+def test_lightweight_chain_apply_exact(key):
+    """The fused Pallas chain (interpret mode) reproduces the canonical
+    eval-mode forward of the low branch (ops/pallas/s2d_chain.py)."""
+    from adam_dehaze_tpu.models.branches import LightweightDehazeModel
+    from adam_dehaze_tpu.ops.pallas.s2d_chain import make_lightweight_chain_apply
+
+    m = LightweightDehazeModel(base_channels=32, n_blocks=3,
+                               dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32)
+    vs = m.init(key, x, False)
+    bs = jax.tree_util.tree_map(
+        lambda a: a + jax.random.uniform(jax.random.PRNGKey(2), a.shape) * 0.3,
+        vs["batch_stats"])
+    vs = {"params": vs["params"], "batch_stats": bs}
+
+    y_ref = m.apply(vs, x, False)
+    y_fast = make_lightweight_chain_apply(vs, dtype=jnp.float32,
+                                          interpret=True)(x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fast),
+                               atol=1e-5)

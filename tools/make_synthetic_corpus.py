@@ -34,8 +34,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CATEGORIES = [{"id": 1, "name": "block"}, {"id": 2, "name": "disc"}]
 
 
+def _octave_noise(rng: np.random.Generator, size: int, octaves: int = 5,
+                  persistence: float = 0.55) -> np.ndarray:
+    """Multi-octave value noise in [-1, 1] — real-image-like 1/f spectral
+    statistics so VGG/LPIPS feature losses have texture to grip (the round-2
+    corpus was piecewise-flat; content/perceptual ablations moved < noise)."""
+    import cv2
+
+    acc = np.zeros((size, size), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        cells = max(2, size // (2 ** (octaves - o + 1)))
+        grid = rng.standard_normal((cells, cells)).astype(np.float32)
+        acc += amp * cv2.resize(grid, (size, size),
+                                interpolation=cv2.INTER_CUBIC)
+        total += amp
+        amp *= persistence
+    acc /= total
+    return np.clip(acc / (2.5 * acc.std() + 1e-6), -1.0, 1.0)
+
+
 def make_clear_scene(rng: np.random.Generator, size: int):
-    """One procedural 'street scene'. Returns (image, boxes_xywh, labels)."""
+    """One procedural 'street scene'. Returns (image, boxes_xywh, labels).
+
+    Surfaces carry structured texture — octave noise fields, per-object
+    shading gradients, stripe/brick patterns — instead of flat fills, so
+    feature-space loss terms (VGG content, LPIPS) measurably change the
+    optimum (round-3 verdict item #8)."""
     import cv2
 
     img = np.zeros((size, size, 3), np.float32)
@@ -44,8 +69,15 @@ def make_clear_scene(rng: np.random.Generator, size: int):
     sky_bot = sky_top * rng.uniform(0.7, 1.0)
     rows = np.linspace(0, 1, horizon)[:, None, None]
     img[:horizon] = sky_top * (1 - rows) + sky_bot * rows
+    # Cloud field: low-frequency octaves brighten the sky non-uniformly.
+    clouds = _octave_noise(rng, size, octaves=3)[:horizon]
+    img[:horizon] += 0.08 * clouds[..., None]
     ground = rng.uniform(0.15, 0.45, 3)
-    img[horizon:] = ground
+    gtex = _octave_noise(rng, size)[size - (size - horizon):]
+    img[horizon:] = ground * (1.0 + 0.35 * gtex[..., None])
+
+    ys = np.arange(size, dtype=np.float32)
+    xs = np.arange(size, dtype=np.float32)
 
     boxes, labels = [], []
     for _ in range(rng.integers(4, 10)):  # buildings / vehicles
@@ -53,24 +85,47 @@ def make_clear_scene(rng: np.random.Generator, size: int):
         h = int(rng.integers(size // 8, size // 2))
         x0 = int(rng.integers(0, size - w))
         y0 = int(rng.integers(max(horizon - h, 0), size - h))
-        color = rng.uniform(0.1, 0.8, 3).tolist()
-        cv2.rectangle(img, (x0, y0), (x0 + w, y0 + h), color, -1)
+        color = rng.uniform(0.1, 0.8, 3)
+        patch = np.broadcast_to(color, (h, w, 3)).copy()
+        # Vertical shading gradient (lit top, dark base).
+        shade = (0.75 + 0.5 * np.linspace(1, 0, h))[:, None, None]
+        patch *= shade
+        # Window/brick stripes at a random pitch and orientation.
+        pitch = int(rng.integers(max(3, size // 64), max(6, size // 16)))
+        phase = rng.integers(0, pitch)
+        if rng.random() < 0.5:
+            mask = ((ys[y0:y0 + h].astype(int) + phase) % pitch) < pitch // 2
+            patch[mask] *= rng.uniform(0.55, 0.85)
+        else:
+            mask = ((xs[x0:x0 + w].astype(int) + phase) % pitch) < pitch // 2
+            patch[:, mask] *= rng.uniform(0.55, 0.85)
+        # Per-surface fine texture octave.
+        fine = _octave_noise(rng, max(h, w))[:h, :w]
+        patch *= (1.0 + 0.18 * fine[..., None])
+        img[y0:y0 + h, x0:x0 + w] = np.clip(patch, 0.0, 1.0)
         boxes.append([x0, y0, w, h])
         labels.append(1)
     for _ in range(rng.integers(2, 6)):  # round features
         cx = int(rng.integers(0, size))
         cy = int(rng.integers(horizon, size))
         r = int(rng.integers(size // 30, size // 8))
-        cv2.circle(img, (cx, cy), r, rng.uniform(0.1, 0.9, 3).tolist(), -1)
+        color = rng.uniform(0.1, 0.9, 3)
+        # Radial shading: brighter center, darker rim (sphere-like).
+        disc = np.zeros((size, size), np.float32)
+        cv2.circle(disc, (cx, cy), r, 1.0, -1)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        rad = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2) / max(r, 1)
+        shading = np.clip(1.15 - 0.45 * rad, 0.4, 1.15)
+        sel = disc > 0
+        img[sel] = np.clip(color * shading[sel, None], 0.0, 1.0)
         x0, y0 = max(cx - r, 0), max(cy - r, 0)
         x1, y1 = min(cx + r, size), min(cy + r, size)
         if x1 > x0 and y1 > y0:
             boxes.append([x0, y0, x1 - x0, y1 - y0])
             labels.append(2)
 
-    noise = rng.normal(0, 0.03, img.shape).astype(np.float32)
-    tex = cv2.GaussianBlur(rng.normal(0, 0.08, (size, size)).astype(
-        np.float32), (0, 0), size / 32)
+    noise = rng.normal(0, 0.02, img.shape).astype(np.float32)
+    tex = 0.06 * _octave_noise(rng, size)
     return np.clip(img + noise + tex[..., None], 0.0, 1.0), boxes, labels
 
 

@@ -18,6 +18,9 @@ p = argparse.ArgumentParser()
 p.add_argument("--iters", type=int, default=20)
 p.add_argument("--batch", type=int, default=16)
 p.add_argument("--strip", type=int, default=0)
+p.add_argument("--lower-only", action="store_true",
+               help="stop after jit.lower() — catches Mosaic lowering "
+                    "errors without paying the remote XLA compile")
 args = p.parse_args()
 
 from adam_dehaze_tpu.models.branches import LightweightDehazeModel
@@ -48,8 +51,14 @@ x = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 256, 256, 3),
 kw = {}
 if args.strip:
     kw["strip"] = args.strip
-chain = jax.jit(make_lightweight_chain_apply(v, dtype=jnp.bfloat16))
+chain = jax.jit(make_lightweight_chain_apply(v, dtype=jnp.bfloat16, **kw))
 s2d = jax.jit(make_lightweight_s2d_apply(v, dtype=jnp.bfloat16))
+
+if args.lower_only:
+    t0 = time.perf_counter()
+    chain.lower(x)
+    print(f"chain lower OK in {time.perf_counter() - t0:.1f}s", flush=True)
+    raise SystemExit(0)
 
 t0 = time.perf_counter()
 out_c = chain(x)
