@@ -127,6 +127,25 @@ def main(argv=None):
         evaluate_classifier(model, state, config)
         print("\n===== Step 2: Training Dehazing Models =====")
         train_all_dehazing_models(config, resume=args.resume)
+
+        # Adaptive eval on the stage checkpoints BEFORE joint fine-tuning,
+        # so the joint stage's measured contribution is an artifact row
+        # (pre_joint_adaptive.json) rather than an assumption.
+        print("\n===== Step 2b: Adaptive Eval (pre-joint) =====")
+        import json as _json
+
+        import jax as _jax
+
+        from adam_dehaze_tpu.evaluation.evaluate import evaluate_joint_model
+        from adam_dehaze_tpu.training.train_joint import build_router_state
+        pre_router, pre_state, _ = build_router_state(
+            config, _jax.random.PRNGKey(config["seed"]))
+        pre_joint = evaluate_joint_model(config, pre_router, pre_state)
+        os.makedirs(config["evaluation"]["results_dir"], exist_ok=True)
+        with open(os.path.join(config["evaluation"]["results_dir"],
+                               "pre_joint_adaptive.json"), "w") as f:
+            _json.dump(pre_joint, f, indent=2)
+
         print("\n===== Step 3: Training Joint Model =====")
         router, joint_state = train_joint_model(config, resume=args.resume)
         print("\n===== Step 4: Comprehensive Evaluation =====")

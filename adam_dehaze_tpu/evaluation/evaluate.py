@@ -390,6 +390,18 @@ def run_comprehensive_evaluation(config, router=None, state=None) -> Dict[str, A
             "adaptive_vs_best_fixed_psnr": joint_avg_psnr - best_fixed,
         },
     }
+    # Fold in the pre-joint adaptive row (written by train_all's step 2b)
+    # so the joint stage's measured contribution lives in one artifact.
+    pre_path = os.path.join(config["evaluation"]["results_dir"],
+                            "pre_joint_adaptive.json")
+    if os.path.isfile(pre_path):
+        with open(pre_path) as f:
+            pre_joint = json.load(f)
+        pre_avg = _avg_psnr(pre_joint)
+        comprehensive_results["pre_joint_adaptive"] = pre_joint
+        comprehensive_results["comparison"]["pre_joint_avg_psnr"] = pre_avg
+        comprehensive_results["comparison"]["joint_stage_psnr_gain"] = (
+            joint_avg_psnr - pre_avg)
     out_path = os.path.join(config["evaluation"]["results_dir"],
                             "comprehensive_results.json")
     with open(out_path, "w") as f:

@@ -124,35 +124,47 @@ def _lightweight_kernel(xp_ref, kin_ref, kres_ref, kmid_ref, kout_ref,
     a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
     b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
 
-    def load_windows(src_ref, s):
-        r0 = s * strip * stride
+    # Per-strip loops run as lax.fori_loop: the strip base r0 = s *
+    # (strip*stride) is a dynamic sublane offset, but strip*stride is a
+    # static multiple of 8 (stride is 8-aligned), so Mosaic's
+    # provably-%8 dynamic-slice rule holds. Unrolling instead multiplies
+    # the Mosaic lowering time by n_strips (~minutes per program).
+    def strip_loop(body):
+        def wrapped(s, carry):
+            body(s * (strip * stride))
+            return carry
+        jax.lax.fori_loop(0, n_strips, wrapped, 0)
+
+    def load_windows(src_ref, r0):
         w0 = src_ref[pl.ds(r0, m_yb + guard), :]
         w1 = src_ref[pl.ds(r0 + stride, m_yb + guard), :]
         return w0, w1
 
     def layer(src_ref, dst_ref, tap_fn, co, shift, relu, skip: bool):
-        for s in range(n_strips):
-            w0, w1 = load_windows(src_ref, s)
+        def body(r0):
+            w0, w1 = load_windows(src_ref, r0)
             acc = _conv_taps(jnp.float32, w0, w1, tap_fn, co, m_yb)
             y = _regroup(acc, stride, m_out, co // 4) + shift[0:1, :co]
-            out_base = (1 + s * strip) * stride
+            out_base = r0 + stride
             if skip:
                 y = y + dst_ref[pl.ds(out_base, m_out), :].astype(jnp.float32)
             if relu:
                 y = jax.nn.relu(y)
             y = jnp.where(valid[:, :co], y, 0.0)
             dst_ref[pl.ds(out_base, m_out), :] = y.astype(dtype)
+        strip_loop(body)
 
     # Input layer: s2d image (12 lanes) -> c4, writes B.
     ci_in = xp_ref.shape[-1]
-    for s in range(n_strips):
-        r0 = s * strip * stride
+
+    def in_body(r0):
         w0 = xp_ref[0, pl.ds(r0, m_yb + guard), :]
         w1 = xp_ref[0, pl.ds(r0 + stride, m_yb + guard), :]
         acc = _conv_taps(jnp.float32, w0, w1, lambda t: kin_ref[t], c4, m_yb)
         y = jax.nn.relu(_regroup(acc, stride, m_out, c4 // 4) + sh_ref[0:1, :])
         y = jnp.where(valid, y, 0.0)
-        b_ref[pl.ds((1 + s * strip) * stride, m_out), :] = y.astype(dtype)
+        b_ref[pl.ds(r0 + stride, m_out), :] = y.astype(dtype)
+    strip_loop(in_body)
 
     # Residual blocks: conv_a B->A (relu), conv_b A->(+B, relu) in place.
     for r in range(n_res):
@@ -170,20 +182,25 @@ def _lightweight_kernel(xp_ref, kin_ref, kres_ref, kmid_ref, kout_ref,
     # roll runs at 128 lanes; the regroup keeps the REAL group width
     # (ci_in // 4) and the pad lanes are sliced off before the store.
     alpha = alpha_ref[0, 0]
-    for s in range(n_strips):
-        w0, w1 = load_windows(a_ref, s)
+
+    def out_body(r0):
+        w0, w1 = load_windows(a_ref, r0)
         acc = _conv_taps(jnp.float32, w0, w1, lambda t: kout_ref[t], c4,
                          m_yb)
         y = (_regroup(acc, stride, m_out, ci_in // 4)
              + sh_ref[2 + 2 * n_res:3 + 2 * n_res, :])[:, :ci_in]
         y = jax.nn.sigmoid(y)
-        out_base = (1 + s * strip) * stride
+        out_base = r0 + stride
         x2 = xp_ref[0, pl.ds(out_base, m_out), :].astype(jnp.float32)
         out_ref[0, pl.ds(out_base, m_out), :] = (1.0 - alpha) * x2 + alpha * y
+    strip_loop(out_body)
 
 
 def _pick_strip(h2: int) -> int:
-    for s in (16, 8, 4, 2, 1):
+    """Measured on v5e @ 256² (batch 16): strip 32 → 4.47 ms and ~40 s
+    remote compile; strip 16 → 4.53 ms but ~6 min compile; strip 64 →
+    9.1 ms (VMEM working-set spills). Prefer 32."""
+    for s in (32, 16, 8, 4, 2, 1):
         if h2 % s == 0:
             return s
     return 1

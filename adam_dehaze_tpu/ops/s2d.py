@@ -630,6 +630,17 @@ def make_serving_apply(model, variables, dtype=jnp.bfloat16):
     )
 
     if isinstance(model, LightweightDehazeModel):
+        # On TPU the whole branch runs as ONE fused Pallas program per image
+        # (ops/pallas/s2d_chain.py; measured 2x over the 9-conv XLA s2d
+        # path). The kernel needs lane width 4*base_channels == 128 and at
+        # least one residual block; anything else (and CPU) takes the XLA
+        # s2d path.
+        if (jax.default_backend() != "cpu"
+                and 4 * model.base_channels == 128 and model.n_blocks >= 1):
+            from adam_dehaze_tpu.ops.pallas.s2d_chain import (
+                make_lightweight_chain_apply,
+            )
+            return make_lightweight_chain_apply(variables, dtype=dtype)
         return make_lightweight_s2d_apply(variables, dtype=dtype)
     if isinstance(model, MediumIntensityDehazeModel):
         return make_medium_s2d_apply(model, variables, dtype=dtype)

@@ -140,6 +140,19 @@ def main():
     print(f"{'classifier (batch ' + str(N) + ')':40s} {ms:8.3f} ms  "
           f"{4.4 * N:8.1f} G  {tf:6.1f} TF/s  {tf / peak * 100.0:5.1f}%")
 
+    # s2d-stem serving path (ops/s2d.py:make_classifier_s2d_apply) — the
+    # canonical 7x7/s2 stem measures ~8% of peak; this row tracks the fix.
+    from adam_dehaze_tpu.ops.s2d import make_classifier_serving_apply
+    csf = jax.jit(make_classifier_serving_apply(classifier, cvars, dtype=sdt))
+    ms = timeit(csf, x) * 1000.0
+    tf = 4.4 * N / ms
+    rows.append({"stage": f"classifier s2d-stem (batch {N})",
+                 "ms": round(ms, 3), "gflops": round(4.4 * N, 1),
+                 "tflops_per_s": round(tf, 1),
+                 "pct_of_peak": round(tf / peak * 100.0, 1)})
+    print(f"{f'classifier s2d-stem (batch {N})':40s} {ms:8.3f} ms  "
+          f"{4.4 * N:8.1f} G  {tf:6.1f} TF/s  {tf / peak * 100.0:5.1f}%")
+
     # ---- high-branch stage shapes (c=96) ----------------------------------
     c = 96
     h2, h4 = S // 2, S // 4
