@@ -107,7 +107,7 @@ def evaluate_fixed_branch(config, router=None, state=None) -> Dict[str, Dict[str
     (no routing at all). This is the quality side of the reference's central
     adaptive-vs-fixed claim (reference README.md:146-149: adaptive matches
     fixed-complex quality at −20% inference time / 92 G vs 150 G FLOPs); the
-    cost side is bench.py's `fixed_all_high_ms_per_image`.
+    cost side is bench.py's `skewed_all_high_ms_per_image`.
 
     Returns {"fixed_low": {psnr, ssim, ...}, "fixed_medium": ...,
     "fixed_high": ...} — overall averages over the WHOLE test set, directly

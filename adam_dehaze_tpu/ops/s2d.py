@@ -643,7 +643,12 @@ def make_serving_apply(model, variables, dtype=jnp.bfloat16):
             return make_lightweight_chain_apply(variables, dtype=dtype)
         return make_lightweight_s2d_apply(variables, dtype=dtype)
     if isinstance(model, MediumIntensityDehazeModel):
-        return make_medium_s2d_apply(model, variables, dtype=dtype)
+        # Measured on v5e @256²x16 (benchmarks/profile_branches.json): the
+        # medium s2d path is 24.79 ms vs 22.23 ms canonical — its full-res
+        # stages are c=64 (only 2x lane-padded) so the s2d rewrite's extra
+        # slicing outweighs the alignment win. Serve the canonical apply in
+        # eval mode; the s2d variant stays available for study.
+        return lambda x: model.apply(variables, x, train=False)
     if isinstance(model, HighIntensityDehazeModel):
         return make_high_s2d_apply(model, variables, dtype=dtype)
     return lambda x: model.apply(variables, x, train=False)

@@ -249,3 +249,13 @@ def test_lightweight_chain_apply_exact(key):
                                           interpret=True)(x)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fast),
                                atol=1e-5)
+
+    # Non-square, non-strip-divisible size: h2=24 falls through the strip
+    # ladder to 8, w2=40 exercises the stride round-up padding columns.
+    xb = jax.random.uniform(jax.random.PRNGKey(3), (1, 48, 80, 3),
+                            jnp.float32)
+    yb_ref = m.apply(vs, xb, False)
+    yb = make_lightweight_chain_apply(vs, dtype=jnp.float32,
+                                      interpret=True)(xb)
+    np.testing.assert_allclose(np.asarray(yb_ref), np.asarray(yb),
+                               atol=1e-5)
