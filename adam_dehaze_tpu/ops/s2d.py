@@ -439,17 +439,24 @@ def _s2d_residual(h, p, bs, name, c, dtype):
     return jax.nn.relu(y + h)
 
 
-def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16):
+def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
+                        res_chain: Optional[bool] = None,
+                        interpret: bool = False):
     """Exact eval-mode serving path for `HighIntensityDehazeModel`
     (models/branches.py:176-238) with the FULL-RES (256²) stages — stem,
     guidance, decoder tail, heads, attention — in the lane-aligned s2d
-    domain and the inner (c>=192) stages on the canonical flax blocks.
+    domain and the inner (c>=192) stages on the canonical flax blocks or,
+    on TPU, fused res/CBAM Pallas chains (ops/pallas/res_chain.py) that
+    keep each same-shape segment VMEM-resident.
 
     Profile rationale (benchmarks/profile_branches.json): the c<128 stages
     at full resolution run ~5-10x below their bounds from lane padding;
     s2d packs 2x2 spatial blocks into channels (96 -> 384). Boundary
     crossings are free: the k4/s2 down conv consumes the s2d layout
     natively and the sub-pixel ConvTranspose emits it natively.
+
+    res_chain: None -> auto (fused chains on TPU); the canonical blocks
+    otherwise.
     """
     from adam_dehaze_tpu.nn.blocks import AttentionBlock, ConvBlock, ResidualBlock, UpBlock
 
@@ -496,6 +503,47 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16):
     down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
     up0 = UpBlock(2 * c, dtype=dt)
 
+    if res_chain is None:
+        # Default stays on the measured-good canonical blocks until the
+        # fused chains are timed on the real chip (tools/probe_res_chain.py);
+        # flip to backend-auto once the measurement lands.
+        res_chain = False
+    if res_chain:
+        from adam_dehaze_tpu.ops.pallas.res_chain import (
+            make_res_attn_chain,
+            segment_specs,
+        )
+        chain_e1 = make_res_attn_chain(segment_specs(
+            p, bs, ["ResidualBlock_0", "ResidualBlock_1",
+                    "AttentionBlock_0"]), c=2 * c, dtype=dt,
+            interpret=interpret)
+        chain_e2b = make_res_attn_chain(segment_specs(
+            p, bs, ["ResidualBlock_2", "ResidualBlock_3", "AttentionBlock_1",
+                    "ResidualBlock_4", "AttentionBlock_2",
+                    "ResidualBlock_5", "AttentionBlock_3"]),
+            c=4 * c, dtype=dt, interpret=interpret)
+        chain_d1 = make_res_attn_chain(segment_specs(
+            p, bs, ["ResidualBlock_6", "AttentionBlock_4"]),
+            c=2 * c, dtype=dt, interpret=interpret)
+    else:
+        def chain_e1(v):
+            v = res2.apply(_sub(variables, "ResidualBlock_0"), v, False)
+            v = res2.apply(_sub(variables, "ResidualBlock_1"), v, False)
+            return attn2.apply(_sub(variables, "AttentionBlock_0"), v, False)
+
+        def chain_e2b(v):
+            v = res4.apply(_sub(variables, "ResidualBlock_2"), v, False)
+            v = res4.apply(_sub(variables, "ResidualBlock_3"), v, False)
+            v = attn4.apply(_sub(variables, "AttentionBlock_1"), v, False)
+            v = res4.apply(_sub(variables, "ResidualBlock_4"), v, False)
+            v = attn4.apply(_sub(variables, "AttentionBlock_2"), v, False)
+            v = res4.apply(_sub(variables, "ResidualBlock_5"), v, False)
+            return attn4.apply(_sub(variables, "AttentionBlock_3"), v, False)
+
+        def chain_d1(v):
+            v = res2.apply(_sub(variables, "ResidualBlock_6"), v, False)
+            return attn2.apply(_sub(variables, "AttentionBlock_4"), v, False)
+
     def apply_fn(x):
         xin = x.astype(dt)
         x2 = space_to_depth(xin)
@@ -509,23 +557,13 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16):
         f0s = space_to_depth(f0)                         # for the d2 concat
 
         e1 = down1.apply(_sub(variables, "ConvBlock_3"), f0, False)
-        e1 = res2.apply(_sub(variables, "ResidualBlock_0"), e1, False)
-        e1 = res2.apply(_sub(variables, "ResidualBlock_1"), e1, False)
-        e1 = attn2.apply(_sub(variables, "AttentionBlock_0"), e1, False)
+        e1 = chain_e1(e1)
 
         e2 = down2.apply(_sub(variables, "ConvBlock_4"), e1, False)
-        e2 = res4.apply(_sub(variables, "ResidualBlock_2"), e2, False)
-        e2 = res4.apply(_sub(variables, "ResidualBlock_3"), e2, False)
-        e2 = attn4.apply(_sub(variables, "AttentionBlock_1"), e2, False)
-
-        b = res4.apply(_sub(variables, "ResidualBlock_4"), e2, False)
-        b = attn4.apply(_sub(variables, "AttentionBlock_2"), b, False)
-        b = res4.apply(_sub(variables, "ResidualBlock_5"), b, False)
-        b = attn4.apply(_sub(variables, "AttentionBlock_3"), b, False)
+        b = chain_e2b(e2)
 
         d1 = up0.apply(_sub(variables, "UpBlock_0"), b, False)
-        d1 = res2.apply(_sub(variables, "ResidualBlock_6"), d1, False)
-        d1 = attn2.apply(_sub(variables, "AttentionBlock_4"), d1, False)
+        d1 = chain_d1(d1)
         d1 = jnp.concatenate([d1, e1], axis=-1)          # plain, 128², 4c
 
         d2 = s2d_up4(d1, kup.astype(dt), shift=tup, relu=True)  # s2d, c
@@ -616,6 +654,69 @@ def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
 
         out = jnp.clip(x2 + res, 0.0, 1.0)
         return depth_to_space(out).astype(jnp.float32)
+
+    return apply_fn
+
+
+def make_medium_chain_apply(model, variables, dtype=jnp.bfloat16,
+                            interpret: bool = False):
+    """Eval-mode serving path for `MediumIntensityDehazeModel`
+    (models/branches.py:90-137): canonical stem/down/up/tail stages with the
+    lane-aligned residual segments — [RB_0, RB_1] @128²x128, [RB_2..RB_5]
+    @64²x256, [RB_6] @128²x128 — fused into one Pallas program each
+    (ops/pallas/res_chain.py). RB_7 (c=64 @256²) stays canonical: its lane
+    width is below 128. Exact vs model.apply up to compute-dtype rounding.
+    """
+    from adam_dehaze_tpu.nn.blocks import ConvBlock, ResidualBlock, UpBlock
+    from adam_dehaze_tpu.ops.pallas.res_chain import (
+        make_res_attn_chain,
+        segment_specs,
+    )
+
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    c = model.base_channels
+    dt = dtype
+
+    stem = ConvBlock(c, 7, dtype=dt)
+    down1 = ConvBlock(2 * c, 4, stride=2, padding=1, dtype=dt)
+    down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
+    up0 = UpBlock(2 * c, dtype=dt)
+    up1 = UpBlock(c, dtype=dt)
+    res1 = ResidualBlock(c, dtype=dt)
+    head1 = ConvBlock(c, 3, dtype=dt)
+    head2 = ConvBlock(c // 2, 3, dtype=dt)
+
+    chain_e1 = make_res_attn_chain(segment_specs(
+        p, bs, ["ResidualBlock_0", "ResidualBlock_1"]), c=2 * c, dtype=dt,
+        interpret=interpret)
+    chain_e2b = make_res_attn_chain(segment_specs(
+        p, bs, ["ResidualBlock_2", "ResidualBlock_3", "ResidualBlock_4",
+                "ResidualBlock_5"]), c=4 * c, dtype=dt, interpret=interpret)
+    chain_d1 = make_res_attn_chain(segment_specs(
+        p, bs, ["ResidualBlock_6"]), c=2 * c, dtype=dt, interpret=interpret)
+
+    def apply_fn(x):
+        xin = x.astype(dt)
+        f0 = stem.apply(_sub(variables, "ConvBlock_0"), xin, False)
+        e1 = down1.apply(_sub(variables, "ConvBlock_1"), f0, False)
+        e1 = chain_e1(e1)
+        e2 = down2.apply(_sub(variables, "ConvBlock_2"), e1, False)
+        b = chain_e2b(e2)
+        d1 = up0.apply(_sub(variables, "UpBlock_0"), b, False)
+        d1 = chain_d1(d1)
+        d1 = jnp.concatenate([d1, e1], axis=-1)
+        d2 = up1.apply(_sub(variables, "UpBlock_1"), d1, False)
+        d2 = res1.apply(_sub(variables, "ResidualBlock_7"), d2, False)
+        d2 = jnp.concatenate([d2, f0], axis=-1)
+        h = head1.apply(_sub(variables, "ConvBlock_3"), d2, False)
+        h = head2.apply(_sub(variables, "ConvBlock_4"), h, False)
+        res = jax.lax.conv_general_dilated(
+            h, p["Conv_0"]["kernel"].astype(dt), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        res = jnp.tanh(res + p["Conv_0"]["bias"].astype(dt))
+        return jnp.clip(xin + res, 0.0, 1.0).astype(jnp.float32)
 
     return apply_fn
 
