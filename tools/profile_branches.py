@@ -129,6 +129,35 @@ def main():
         print(f"{f'branch/{name} s2d-serving (batch {N})':40s} {ms:8.3f} ms  "
               f"{gf:8.1f} G  {tf:6.1f} TF/s  {tf / peak * 100.0:5.1f}%")
 
+    # Fused res/CBAM chain variants (ops/pallas/res_chain.py) regardless of
+    # the current dispatch, so both sides of the decision stay measured.
+    from adam_dehaze_tpu.ops.s2d import (
+        make_high_s2d_apply,
+        make_medium_chain_apply,
+    )
+    for label, mk in (
+            (f"branch/medium res-chain (batch {N})",
+             lambda: make_medium_chain_apply(
+                 branches["medium"], branch_vars["medium"], dtype=sdt)),
+            (f"branch/high s2d+res-chain (batch {N})",
+             lambda: make_high_s2d_apply(
+                 branches["high"], branch_vars["high"], dtype=sdt,
+                 res_chain=True))):
+        name = "medium" if "medium" in label else "high"
+        try:
+            fn = jax.jit(mk())
+            ms = timeit(fn, x) * 1000.0
+            gf = full_gflops[name]
+            tf = gf / ms
+            rows.append({"stage": label, "ms": round(ms, 3),
+                         "gflops": round(gf, 1),
+                         "tflops_per_s": round(tf, 1),
+                         "pct_of_peak": round(tf / peak * 100.0, 1)})
+            print(f"{label:40s} {ms:8.3f} ms  {gf:8.1f} G  "
+                  f"{tf:6.1f} TF/s  {tf / peak * 100.0:5.1f}%")
+        except Exception as e:
+            print(f"{label} failed: {type(e).__name__}: {e}")
+
     classifier = create_classifier(config)
     cvars = classifier.init({"params": key, "dropout": key}, x[:1])
     cf = jax.jit(lambda v, img: classifier.apply(v, img))
