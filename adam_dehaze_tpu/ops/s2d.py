@@ -455,8 +455,12 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
     crossings are free: the k4/s2 down conv consumes the s2d layout
     natively and the sub-pixel ConvTranspose emits it natively.
 
-    res_chain: None -> auto (fused chains on TPU); the canonical blocks
-    otherwise.
+    res_chain: which segments run as fused chains — None/False -> none,
+    True -> all three, or a collection drawn from {"e1", "e2b", "d1"}.
+    Measured on v5e (logs/probe_res_chain.log): the c=384 e2b segment is an
+    exact 3x3-tile MXU fit and wins; the c=192 segments pad to 2x2 tiles
+    (56% MXU utilization) and lose to XLA's convs, so per-segment choice
+    matters.
     """
     from adam_dehaze_tpu.nn.blocks import AttentionBlock, ConvBlock, ResidualBlock, UpBlock
 
@@ -503,34 +507,34 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
     down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
     up0 = UpBlock(2 * c, dtype=dt)
 
-    if res_chain is None:
-        # Default stays on the measured-good canonical blocks until the
-        # fused chains are timed on the real chip (tools/probe_res_chain.py);
-        # flip to backend-auto once the measurement lands.
-        res_chain = False
-    if res_chain:
+    if res_chain is None or res_chain is False:
+        segments = set()
+    elif res_chain is True:
+        segments = {"e1", "e2b", "d1"}
+    else:
+        segments = set(res_chain)
+    if segments:
         from adam_dehaze_tpu.ops.pallas.res_chain import (
             make_res_attn_chain,
             segment_specs,
         )
+    if "e1" in segments:
         chain_e1 = make_res_attn_chain(segment_specs(
             p, bs, ["ResidualBlock_0", "ResidualBlock_1",
                     "AttentionBlock_0"]), c=2 * c, dtype=dt,
             interpret=interpret)
-        chain_e2b = make_res_attn_chain(segment_specs(
-            p, bs, ["ResidualBlock_2", "ResidualBlock_3", "AttentionBlock_1",
-                    "ResidualBlock_4", "AttentionBlock_2",
-                    "ResidualBlock_5", "AttentionBlock_3"]),
-            c=4 * c, dtype=dt, interpret=interpret)
-        chain_d1 = make_res_attn_chain(segment_specs(
-            p, bs, ["ResidualBlock_6", "AttentionBlock_4"]),
-            c=2 * c, dtype=dt, interpret=interpret)
     else:
         def chain_e1(v):
             v = res2.apply(_sub(variables, "ResidualBlock_0"), v, False)
             v = res2.apply(_sub(variables, "ResidualBlock_1"), v, False)
             return attn2.apply(_sub(variables, "AttentionBlock_0"), v, False)
-
+    if "e2b" in segments:
+        chain_e2b = make_res_attn_chain(segment_specs(
+            p, bs, ["ResidualBlock_2", "ResidualBlock_3", "AttentionBlock_1",
+                    "ResidualBlock_4", "AttentionBlock_2",
+                    "ResidualBlock_5", "AttentionBlock_3"]),
+            c=4 * c, dtype=dt, interpret=interpret)
+    else:
         def chain_e2b(v):
             v = res4.apply(_sub(variables, "ResidualBlock_2"), v, False)
             v = res4.apply(_sub(variables, "ResidualBlock_3"), v, False)
@@ -539,7 +543,11 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
             v = attn4.apply(_sub(variables, "AttentionBlock_2"), v, False)
             v = res4.apply(_sub(variables, "ResidualBlock_5"), v, False)
             return attn4.apply(_sub(variables, "AttentionBlock_3"), v, False)
-
+    if "d1" in segments:
+        chain_d1 = make_res_attn_chain(segment_specs(
+            p, bs, ["ResidualBlock_6", "AttentionBlock_4"]),
+            c=2 * c, dtype=dt, interpret=interpret)
+    else:
         def chain_d1(v):
             v = res2.apply(_sub(variables, "ResidualBlock_6"), v, False)
             return attn2.apply(_sub(variables, "AttentionBlock_4"), v, False)
@@ -744,11 +752,16 @@ def make_serving_apply(model, variables, dtype=jnp.bfloat16):
             return make_lightweight_chain_apply(variables, dtype=dtype)
         return make_lightweight_s2d_apply(variables, dtype=dtype)
     if isinstance(model, MediumIntensityDehazeModel):
-        # Measured on v5e @256²x16 (benchmarks/profile_branches.json): the
-        # medium s2d path is 24.79 ms vs 22.23 ms canonical — its full-res
-        # stages are c=64 (only 2x lane-padded) so the s2d rewrite's extra
-        # slicing outweighs the alignment win. Serve the canonical apply in
-        # eval mode; the s2d variant stays available for study.
+        # Measured ladder on v5e @256²x16 (logs/probe_res_chain2.log):
+        # chain-hybrid 25.59 ms < canonical 28.05 < s2d 24.79-vs-22.23 from
+        # round 2 (full-res c=64 stages lane-pad 2x; the s2d rewrite's extra
+        # slicing outweighs that win). The chain-hybrid fuses the three
+        # aligned residual segments (128/256 lanes — exact MXU tiles) into
+        # one Pallas program each and keeps stem/down/up/tail canonical.
+        # Chain needs the default architecture; anything else (and CPU)
+        # serves canonical.
+        if (jax.default_backend() != "cpu" and model.base_channels == 64):
+            return make_medium_chain_apply(model, variables, dtype=dtype)
         return lambda x: model.apply(variables, x, train=False)
     if isinstance(model, HighIntensityDehazeModel):
         return make_high_s2d_apply(model, variables, dtype=dtype)

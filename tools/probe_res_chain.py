@@ -59,7 +59,10 @@ def main():
     m_h = HighIntensityDehazeModel(use_pallas=True)
     vs_h = m_h.init(jax.random.PRNGKey(1), dummy, train=False)
     for name, flag in (("high_s2d_canonical_ms", False),
-                       ("high_s2d_chain_ms", True)):
+                       ("high_s2d_chain_ms", True),
+                       ("high_s2d_chain_e2b_ms", ("e2b",)),
+                       ("high_s2d_chain_e1_ms", ("e1",)),
+                       ("high_s2d_chain_d1_ms", ("d1",))):
         try:
             f = jax.jit(make_high_s2d_apply(m_h, vs_h, res_chain=flag))
             results[name] = round(_time(f, x), 3)
