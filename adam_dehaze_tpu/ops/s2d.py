@@ -752,16 +752,15 @@ def make_serving_apply(model, variables, dtype=jnp.bfloat16):
             return make_lightweight_chain_apply(variables, dtype=dtype)
         return make_lightweight_s2d_apply(variables, dtype=dtype)
     if isinstance(model, MediumIntensityDehazeModel):
-        # Measured ladder on v5e @256²x16 (logs/probe_res_chain2.log):
-        # chain-hybrid 25.59 ms < canonical 28.05 < s2d 24.79-vs-22.23 from
-        # round 2 (full-res c=64 stages lane-pad 2x; the s2d rewrite's extra
-        # slicing outweighs that win). The chain-hybrid fuses the three
-        # aligned residual segments (128/256 lanes — exact MXU tiles) into
-        # one Pallas program each and keeps stem/down/up/tail canonical.
-        # Chain needs the default architecture; anything else (and CPU)
-        # serves canonical.
-        if (jax.default_backend() != "cpu" and model.base_channels == 64):
-            return make_medium_chain_apply(model, variables, dtype=dtype)
+        # Measured FAIR ladder on v5e @256²x16, all contenders at bf16
+        # (logs/probe_medium_fair.log): canonical 23.45 ms < s2d 25.73 ≈
+        # chain-hybrid 25.75. XLA's stacked conv fusion runs the aligned
+        # residual segments near peak in-context (see probe_chain_micro),
+        # and the c=64 full-res lane padding costs less than either
+        # rewrite's overhead. NOTE: an earlier probe compared against a
+        # model built at its f32 default and wrongly flipped this to the
+        # chain — always compare at the serving dtype. Canonical assumes
+        # `model.dtype` is the serving dtype (true for config-built models).
         return lambda x: model.apply(variables, x, train=False)
     if isinstance(model, HighIntensityDehazeModel):
         return make_high_s2d_apply(model, variables, dtype=dtype)

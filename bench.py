@@ -245,11 +245,11 @@ def main():
                 raise RuntimeError("device-binned engine unavailable")
             n_dev_stream = 12
             labels_dev = jnp.asarray(balanced)
-            def _dev_stream(n_batches):
+            def _dev_stream(n_batches, depth):
                 pending = []
                 for _ in range(n_batches):
                     pending.append(dev_fn(x, labels_dev))
-                    if len(pending) >= 2:
+                    if len(pending) >= depth:
                         out, inten, _ = pending.pop(0)
                         np.asarray(inten)
                 last = None
@@ -257,15 +257,22 @@ def main():
                     np.asarray(inten)
                     last = out
                 _sync(last)
-            _dev_stream(2)  # warm
-            t0 = time.perf_counter()
-            _dev_stream(n_dev_stream)
-            dev_stream_per_img = (time.perf_counter() - t0) / (
-                n_dev_stream * BATCH)
+            # Depth sweep: deeper pipelines hide more dispatch/fetch under
+            # device compute (r2's 1.67 ms probe held 3 batches in flight);
+            # the compiled program is reused so extra depths are cheap.
+            best = (float("inf"), 0)
+            for depth in (2, 3, 4):
+                _dev_stream(2, depth)  # warm
+                t0 = time.perf_counter()
+                _dev_stream(n_dev_stream, depth)
+                per_img = (time.perf_counter() - t0) / (n_dev_stream * BATCH)
+                best = min(best, (per_img, depth))
+            dev_stream_per_img, best_depth = best
             result["device_binned_stream_ms_per_image"] = round(
                 dev_stream_per_img * 1000.0, 4)
             result["device_binned_stream_imgs_per_sec"] = round(
                 1.0 / dev_stream_per_img, 1)
+            result["device_binned_stream_depth"] = best_depth
         except Exception as e:
             print(f"device-binned stream skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)

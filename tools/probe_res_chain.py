@@ -56,13 +56,16 @@ def main():
     dummy = x[:1]
     results = {}
 
+    import os
     m_h = HighIntensityDehazeModel(use_pallas=True)
     vs_h = m_h.init(jax.random.PRNGKey(1), dummy, train=False)
-    for name, flag in (("high_s2d_canonical_ms", False),
-                       ("high_s2d_chain_ms", True),
-                       ("high_s2d_chain_e2b_ms", ("e2b",)),
-                       ("high_s2d_chain_e1_ms", ("e1",)),
-                       ("high_s2d_chain_d1_ms", ("d1",))):
+    high_variants = () if os.environ.get("PROBE_MEDIUM_ONLY") else (
+        ("high_s2d_canonical_ms", False),
+        ("high_s2d_chain_ms", True),
+        ("high_s2d_chain_e2b_ms", ("e2b",)),
+        ("high_s2d_chain_e1_ms", ("e1",)),
+        ("high_s2d_chain_d1_ms", ("d1",)))
+    for name, flag in high_variants:
         try:
             f = jax.jit(make_high_s2d_apply(m_h, vs_h, res_chain=flag))
             results[name] = round(_time(f, x), 3)
@@ -70,25 +73,25 @@ def main():
         except Exception as e:
             print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    m_m = MediumIntensityDehazeModel()
+    # FAIR medium comparison: all contenders at the serving compute dtype
+    # (bf16). An earlier revision built the model at its f32 default, which
+    # made the "canonical" row a straw man (28.05 ms vs 22.2 ms at bf16).
+    m_m = MediumIntensityDehazeModel(dtype=jnp.bfloat16)
     vs_m = m_m.init(jax.random.PRNGKey(2), dummy, train=False)
-    try:
-        # Canonical serving path (the current make_serving_apply dispatch).
-        from adam_dehaze_tpu.ops.s2d import make_serving_apply
-        f = jax.jit(make_serving_apply(m_m, vs_m))
-        results["medium_canonical_ms"] = round(_time(f, x), 3)
-        print(json.dumps({"medium_canonical_ms":
-                          results["medium_canonical_ms"]}), flush=True)
-    except Exception as e:
-        print(f"medium canonical failed: {e}", file=sys.stderr)
-    try:
-        f = jax.jit(make_medium_chain_apply(m_m, vs_m))
-        results["medium_chain_ms"] = round(_time(f, x), 3)
-        print(json.dumps({"medium_chain_ms": results["medium_chain_ms"]}),
-              flush=True)
-    except Exception as e:
-        print(f"medium chain failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    from adam_dehaze_tpu.ops.s2d import make_medium_s2d_apply
+    for name, mk in (
+            ("medium_canonical_bf16_ms",
+             lambda: (lambda im: m_m.apply(vs_m, im, train=False))),
+            ("medium_s2d_ms",
+             lambda: make_medium_s2d_apply(m_m, vs_m)),
+            ("medium_chain_ms",
+             lambda: make_medium_chain_apply(m_m, vs_m))):
+        try:
+            f = jax.jit(mk())
+            results[name] = round(_time(f, x), 3)
+            print(json.dumps({name: results[name]}), flush=True)
+        except Exception as e:
+            print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(json.dumps(results))
 
