@@ -350,6 +350,12 @@ def main():
             per_iter_q = _time(lambda: engine_q(x, intensity=balanced)[0],
                                iters=max(ITERS // 2, 5))
             result["int8_ms_per_image"] = round(per_iter_q / BATCH * 1000.0, 4)
+            # Measured bound (tools/probe_int8.py, logs/probe_int8b.log):
+            # XLA on this backend lowers the AQT conv to bf16 (no int8 MXU
+            # path), and even hand-built s8xs8->s32 convs/matmuls top out at
+            # 1.04x / go 0.75-0.87x at serving shapes — so this field tracks
+            # the AQT path's cost, not an int8 speedup.
+            result["int8_lowering"] = "bf16"
         except Exception as e:
             print(f"int8 variant skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)

@@ -141,3 +141,14 @@ t_mm_bf = timeit(mm_bf, a_bf, b_bf)
 t_mm_i8 = timeit(mm_i8, a_i8, b_i8)
 print(f"matmul bf16      : {t_mm_bf:.3f} ms")
 print(f"matmul int8      : {t_mm_i8:.3f} ms  ({t_mm_bf / t_mm_i8:.2f}x)")
+
+# Bigger-contraction matmul: does int8 ever reach its 2x peak via XLA here?
+M2, K2 = 8192, 512
+a2_i8 = jnp.ones((M2, K2), jnp.int8)
+b2_i8 = jnp.ones((K2, K2), jnp.int8)
+a2_bf = jnp.ones((M2, K2), jnp.bfloat16)
+b2_bf = jnp.ones((K2, K2), jnp.bfloat16)
+t_bf2 = timeit(mm_bf, a2_bf, b2_bf)
+t_i82 = timeit(mm_i8, a2_i8, b2_i8)
+print(f"matmul bf16 512K : {t_bf2:.3f} ms")
+print(f"matmul int8 512K : {t_i82:.3f} ms  ({t_bf2 / t_i82:.2f}x)")
