@@ -83,16 +83,22 @@ class AdaptiveDehazer:
             "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32)
         return make_classifier_serving_apply(clf, sub, dtype=dtype)
 
-    def route_hard(self, images) -> Tuple[np.ndarray, np.ndarray]:
-        """Binned hard routing: each image pays only its own branch."""
+    def route_hard(self, images,
+                   spill: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        """Binned hard routing: each image pays only its own branch.
+        spill=True serves per-class overflow with a neighboring branch's
+        free pad slots (capacity policy, models/routing.py:
+        plan_capacity_spill) so skewed traffic never pays an extra padded
+        bucket program."""
         if "binned" not in self._engines:
             from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
             self._engines["binned"] = BinnedAdaptiveEngine(
                 self._classifier_apply(), self._branch_applies())
-        out, intensity = self._engines["binned"](jnp.asarray(images))
+        out, intensity = self._engines["binned"](jnp.asarray(images),
+                                                 spill=spill)
         return np.asarray(out), np.asarray(intensity)
 
-    def route_hard_stream(self, batches):
+    def route_hard_stream(self, batches, spill: bool = False):
         """Steady-state pipelined serving over an iterable of batches: the
         classifier of batch k+1 overlaps batch k's host binning round-trip
         (models/routing.py:BinnedAdaptiveEngine.run_stream). Yields
@@ -101,7 +107,8 @@ class AdaptiveDehazer:
             from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
             self._engines["binned"] = BinnedAdaptiveEngine(
                 self._classifier_apply(), self._branch_applies())
-        for out, intensity in self._engines["binned"].run_stream(batches):
+        for out, intensity in self._engines["binned"].run_stream(
+                batches, spill=spill):
             yield np.asarray(out), np.asarray(intensity)
 
     def route_device_binned(self, images,

@@ -308,6 +308,18 @@ def main():
                 result["trained_routing_acc"] = round(acc, 4)
                 result["predicted_trained_minus_oracle_ms"] = round(
                     ms_tr - result["value"], 4)
+                # Capacity-spill serving (models/routing.py:
+                # plan_capacity_spill): overflow images beyond a class's
+                # bucket capacity are served by a neighboring branch's free
+                # pad slots, so skewed REAL traffic reuses exactly the
+                # balanced program set instead of paying an extra padded
+                # bucket dispatch. Same compiled programs — no extra compile.
+                per_iter_sp = _time(
+                    lambda: engine(x_real, intensity=labels_trained,
+                                   spill=True)[0],
+                    iters=max(ITERS // 3, 5))
+                result["spill_routing_trained_ms_per_image"] = round(
+                    per_iter_sp / BATCH * 1000.0, 4)
         except Exception as e:
             print(f"trained-routing variant skipped "
                   f"({type(e).__name__}: {e})", file=sys.stderr)

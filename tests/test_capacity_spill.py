@@ -1,0 +1,147 @@
+"""Capacity-spill routing policy (BinnedAdaptiveEngine.plan_capacity_spill).
+
+Skewed real-classifier traffic must never pay an extra padded bucket
+program: overflow images beyond a class's bucket capacity are served by a
+neighboring branch's free pad slots (MoE capacity-factor style). Fidelity
+mode (spill=False) keeps the exact per-class dispatch.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+
+
+def _const_applies():
+    """Branch i multiplies by (i + 1): outputs identify the serving branch."""
+    return [(lambda img, k=i + 1.0: img * k) for i in range(3)]
+
+
+def _classifier_from_labels(labels):
+    labels = jnp.asarray(labels)
+
+    def classifier(img):
+        return jax.nn.one_hot(labels[: img.shape[0]], 3) * 10.0, None
+
+    return classifier
+
+
+def _branch_of(y, x):
+    """Recover which constant-branch produced each output row."""
+    ratio = np.asarray(y).reshape(y.shape[0], -1)[:, 0] / (
+        np.asarray(x).reshape(x.shape[0], -1)[:, 0])
+    return np.rint(ratio).astype(int) - 1
+
+
+def test_plan_balanced_is_identity():
+    eng = BinnedAdaptiveEngine(_classifier_from_labels([0] * 3),
+                               _const_applies(), buckets=(4,))
+    labels = np.repeat(np.arange(3), 4)
+    np.testing.assert_array_equal(eng.plan_capacity_spill(labels), labels)
+
+
+def test_plan_spills_overflow_to_free_class():
+    eng = BinnedAdaptiveEngine(_classifier_from_labels([0] * 3),
+                               _const_applies(), buckets=(4,))
+    # counts (5, 3, 4) with cap 4: one low-class image must move; the only
+    # free class is medium (stronger neighbor preferred anyway).
+    labels = np.array([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2])
+    eff = eng.plan_capacity_spill(labels)
+    counts = np.bincount(eff, minlength=3)
+    np.testing.assert_array_equal(counts, [4, 4, 4])
+    # exactly one image changed, from class 0 to class 1
+    changed = np.nonzero(eff != labels)[0]
+    assert changed.size == 1
+    assert labels[changed[0]] == 0 and eff[changed[0]] == 1
+
+
+def test_plan_prefers_stronger_branch():
+    eng = BinnedAdaptiveEngine(_classifier_from_labels([0] * 3),
+                               _const_applies(), buckets=(4,))
+    # medium overflows; both low and high have a free slot -> prefer HIGH
+    # (the stronger dehazer degrades less on lighter fog).
+    labels = np.array([0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2])
+    eff = eng.plan_capacity_spill(labels)
+    changed = np.nonzero(eff != labels)[0]
+    assert changed.size == 1
+    assert labels[changed[0]] == 1 and eff[changed[0]] == 2
+
+
+def test_plan_margin_picks_least_committed():
+    eng = BinnedAdaptiveEngine(_classifier_from_labels([0] * 3),
+                               _const_applies(), buckets=(2,))
+    labels = np.array([0, 0, 0, 1, 2, 2])  # low overflows by 1, medium free
+    logits = np.full((6, 3), -10.0)
+    logits[np.arange(6), labels] = 10.0
+    # image 1 is nearly medium; it must be the one spilled
+    logits[1, 1] = 9.5
+    eff = eng.plan_capacity_spill(labels, logits)
+    changed = np.nonzero(eff != labels)[0]
+    np.testing.assert_array_equal(changed, [1])
+    assert eff[1] == 1
+
+
+def test_plan_cap_rounds_to_bucket():
+    eng = BinnedAdaptiveEngine(_classifier_from_labels([0] * 3),
+                               _const_applies(), buckets=(2, 4))
+    # n=10 -> per-class ceil 4 -> cap 4 (already a bucket); counts (6,2,2):
+    # two lows spill, both to the nearest stronger class (medium has room).
+    labels = np.array([0] * 6 + [1] * 2 + [2] * 2)
+    eff = eng.plan_capacity_spill(labels)
+    counts = np.bincount(eff, minlength=3)
+    assert counts.max() <= 4
+    assert (eff[labels == 0] == 1).sum() == 2
+
+
+def test_call_spill_serves_with_neighbor_and_reports_predictions(key):
+    labels = np.array([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2])
+    eng = BinnedAdaptiveEngine(_classifier_from_labels(labels),
+                               _const_applies(), buckets=(4,))
+    x = jax.random.uniform(key, (12, 8, 8, 3)) + 0.5
+    y, intensity = eng(x, spill=True)
+    # returned labels are the classifier's PREDICTIONS, not the spill plan
+    np.testing.assert_array_equal(intensity, labels)
+    served = _branch_of(y, x)
+    counts = np.bincount(served, minlength=3)
+    np.testing.assert_array_equal(counts, [4, 4, 4])
+    # non-overflow classes untouched; the spilled image went to medium
+    np.testing.assert_array_equal(served[5:], labels[5:])
+    assert (served[:5] == 0).sum() == 4 and (served[:5] == 1).sum() == 1
+
+
+def test_call_spill_dispatches_no_extra_bucket(key):
+    labels = np.array([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2])
+    eng = BinnedAdaptiveEngine(_classifier_from_labels(labels),
+                               _const_applies(), buckets=(4,))
+    calls = []
+    orig = eng._bucket_steps
+
+    def wrap(step, cls):
+        def counted(x, idx, out):
+            calls.append(cls)
+            return step(x, idx, out)
+        return counted
+
+    eng._bucket_steps = [wrap(s, i) for i, s in enumerate(orig)]
+    x = jax.random.uniform(key, (12, 8, 8, 3)) + 0.5
+
+    eng(x, intensity=labels, spill=True)
+    assert len(calls) == 3  # one bucket program per class, no overflow
+
+    calls.clear()
+    eng(x, intensity=labels, spill=False)
+    assert len(calls) == 4  # fidelity mode pays the extra padded bucket
+
+
+def test_stream_spill_matches_call(key):
+    labels = np.array([0, 0, 0, 1, 2, 2])
+    eng = BinnedAdaptiveEngine(_classifier_from_labels(labels),
+                               _const_applies(), buckets=(2,))
+    x = jax.random.uniform(key, (6, 8, 8, 3)) + 0.5
+    direct, i_direct = eng(x, intensity=labels, spill=True)
+    ((streamed, i_stream),) = list(
+        eng.run_stream([x], intensities=[labels], spill=True))
+    np.testing.assert_array_equal(i_direct, i_stream)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(streamed),
+                               atol=1e-6)
