@@ -324,6 +324,41 @@ def main():
             print(f"trained-routing variant skipped "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
 
+        # Full-pipeline latency incl. detection (BASELINE.md TPU north
+        # star: HDEN -> CORUN -> detection < 5 ms/image on one chip). Dense
+        # FCOS forward + ImageNet renormalisation + fused on-device top-k
+        # in ONE jitted program chained onto the adaptive engine; the host
+        # NMS over <= 300 candidates is numpy microseconds and excluded.
+        try:
+            from adam_dehaze_tpu.models.detection import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+                _device_topk,
+                create_detection_model,
+            )
+            det = create_detection_model(config)
+            det_vars = det.module.init(jax.random.PRNGKey(7),
+                                       jnp.zeros((1, SIZE, SIZE, 3),
+                                                 jnp.float32))
+            det_pipe = jax.jit(lambda v, img: _device_topk(
+                det.module.apply(v, (img - IMAGENET_MEAN) / IMAGENET_STD),
+                det.topk))
+
+            def _pipeline():
+                dehazed = engine(x, intensity=balanced)[0]
+                return det_pipe(det_vars, dehazed)[0]["scores"]
+
+            per_iter_det = _time(_pipeline, iters=max(ITERS // 3, 5))
+            result["with_detection_ms_per_image"] = round(
+                per_iter_det / BATCH * 1000.0, 4)
+            # overhead vs the same (host-binned) engine the pipeline chains
+            host_ms = result.get("host_binned_ms_per_image", result["value"])
+            result["detection_overhead_ms_per_image"] = round(
+                per_iter_det / BATCH * 1000.0 - host_ms, 4)
+        except Exception as e:
+            print(f"detection pipeline variant skipped "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+
         # Measured-FLOPs MFU for the balanced primary metric.
         xb = x[:bucket]
         flops_iter = _flops_of(engine.classifier_apply, x) + sum(
