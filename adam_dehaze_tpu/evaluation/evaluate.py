@@ -138,6 +138,72 @@ def evaluate_fixed_branch(config, router=None, state=None) -> Dict[str, Dict[str
     return results
 
 
+def evaluate_hard_routing(config, router=None, state=None) -> Dict[str, Any]:
+    """Hard-binned serving quality under REAL classifier traffic, in both
+    engine modes (models/routing.py:BinnedAdaptiveEngine):
+
+    - fidelity: every image is served by its predicted branch (skewed
+      batches pay extra padded bucket programs — the cost bench.py measures
+      as `predicted_routing_trained_ms_per_image`);
+    - spill: capacity-constrained plan (`plan_capacity_spill`) — overflow
+      images are served by a neighboring branch's free pad slots, so the
+      serving cost equals the balanced cost.
+
+    This is the QUALITY side of the spill trade-off: the artifact rows let
+    a deployment decide whether the (typically <=0.1 dB on a well-trained
+    classifier, since only near-boundary images spill) PSNR delta is worth
+    the latency. Returns {"fidelity": {...}, "spill": {...},
+    "routing_acc": float, "spilled_frac": float}."""
+    from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+
+    if router is None:
+        router, state = _load_joint(config)
+    clf_sub = {"params": state.params["classifier"],
+               "batch_stats": state.batch_stats["classifier"]}
+    clf = router.classifier
+    branch_applies = []
+    for lvl in ("low", "medium", "high"):
+        sub = {"params": state.params[f"models_{lvl}"],
+               "batch_stats": state.batch_stats[f"models_{lvl}"]}
+        module = router.models[lvl]
+        branch_applies.append(
+            (lambda x, m=module, v=sub: m.apply(v, x)))
+    batch_size = config["dataset"]["batch_size"]
+    bucket = max(1, -(-batch_size // 3))
+    engine = BinnedAdaptiveEngine(lambda x: clf.apply(clf_sub, x),
+                                  branch_applies, buckets=(bucket,))
+
+    img = config["dataset"]["img_size"]
+    accs = {mode: ImageQualityMetrics(image_shape=(1, img, img, 3))
+            for mode in ("fidelity", "spill")}
+    n_correct = n_total = n_spilled = 0
+    loader = get_dataloader(config, "test", shard_per_host=False)
+    for batch in loader:
+        hazy = jnp.asarray(batch["hazy"])
+        mask = batch["mask"]
+        logits = np.asarray(engine._logits(hazy))
+        pred = logits.argmax(axis=1)
+        out_fid, _ = engine(hazy, intensity=pred)
+        serve_labels = engine.plan_capacity_spill(pred, logits)
+        out_sp = engine._dispatch(hazy, serve_labels)
+        accs["fidelity"].add_batch(np.asarray(out_fid)[mask],
+                                   batch["clear"][mask], "overall")
+        accs["spill"].add_batch(np.asarray(out_sp)[mask],
+                                batch["clear"][mask], "overall")
+        n_correct += int((pred[mask] == batch["intensity"][mask]).sum())
+        n_spilled += int((serve_labels[mask] != pred[mask]).sum())
+        n_total += int(mask.sum())
+    results = {mode: accs[mode].compute_averages().get("overall", {})
+               for mode in accs}
+    results["routing_acc"] = n_correct / max(n_total, 1)
+    results["spilled_frac"] = n_spilled / max(n_total, 1)
+    print(f"  hard routing (acc {results['routing_acc']:.3f}): "
+          f"fidelity PSNR {results['fidelity'].get('psnr', float('nan')):.2f}"
+          f" | spill PSNR {results['spill'].get('psnr', float('nan')):.2f}"
+          f" ({results['spilled_frac'] * 100:.1f}% spilled)")
+    return results
+
+
 def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str, float]]:
     """Full adaptive path: classifier -> router -> blend
     (reference: evaluate.py:94-177)."""
@@ -335,6 +401,8 @@ def run_comprehensive_evaluation(config, router=None, state=None) -> Dict[str, A
     joint_results = evaluate_joint_model(config, router, state)
     print("\n3. Evaluating Fixed-Pipeline Baselines (each branch on ALL traffic):")
     fixed_results = evaluate_fixed_branch(config, router, state)
+    print("\n3b. Evaluating Hard-Binned Serving (fidelity vs capacity-spill):")
+    hard_results = evaluate_hard_routing(config, router, state)
     print("\n4. Evaluating Impact on Object Detection:")
     detection_results = evaluate_object_detection(config, router, state)
 
@@ -376,6 +444,7 @@ def run_comprehensive_evaluation(config, router=None, state=None) -> Dict[str, A
         "baseline": baseline_results,
         "joint": joint_results,
         "fixed": fixed_results,
+        "hard_routing": hard_results,
         "detection": {
             "hazy": detection_results["hazy"]["overall"],
             "dehazed": detection_results["dehazed"]["overall"],

@@ -91,3 +91,18 @@ def test_demo_mode(synth_root, tmp_path):
     run_demo(cfg, str(tmp_path), max_batches=1)
     demo_dir = os.path.join(str(tmp_path), "demo")
     assert any(f.startswith("demo_batch") for f in os.listdir(demo_dir))
+
+
+@pytest.mark.slow
+def test_evaluate_hard_routing(synth_root, tmp_path):
+    """Predicted-traffic hard routing quality rows, fidelity vs spill."""
+    from adam_dehaze_tpu.evaluation.evaluate import evaluate_hard_routing
+    cfg = eval_config(synth_root, str(tmp_path))
+    res = evaluate_hard_routing(cfg)
+    assert {"fidelity", "spill", "routing_acc", "spilled_frac"} <= set(res)
+    assert res["fidelity"].get("samples", 0) > 0
+    assert res["spill"]["samples"] == res["fidelity"]["samples"]
+    assert 0.0 <= res["routing_acc"] <= 1.0
+    assert 0.0 <= res["spilled_frac"] <= 1.0
+    for mode in ("fidelity", "spill"):
+        assert np.isfinite(res[mode]["psnr"])
