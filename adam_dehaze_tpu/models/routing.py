@@ -325,10 +325,64 @@ class BinnedAdaptiveEngine:
             yield _serve(px, labels)
 
 
+def _spill_choice_table(n_cls: int):
+    """Per-class serving preference: own class, then stronger neighbors
+    ascending, then weaker descending (a heavier dehazer on lighter fog
+    degrades less than the reverse — same policy as
+    BinnedAdaptiveEngine.plan_capacity_spill)."""
+    import numpy as np
+    rows = [[c] + list(range(c + 1, n_cls)) + list(range(c - 1, -1, -1))
+            for c in range(n_cls)]
+    return jnp.asarray(np.array(rows, np.int32))
+
+
+def _device_capacity_labels(intensity, logits, cap: int, n_cls: int):
+    """Fully-vectorized on-device capacity assignment (jit-safe, static
+    shapes): every class serves at most `cap` images; overflow images are
+    reassigned along `_spill_choice_table` preferences, most-confident
+    images claiming their own class first so the least-confident (near-
+    boundary) ones are the ones that spill.
+
+    One pass per preference rank (n_cls passes, tiny (n, n_cls) cumsum
+    work): a pass accepts each still-unassigned image into its rank-j
+    choice if that class still has free capacity at the image's priority
+    position. Every image places within n_cls passes: capacities only
+    shrink, the choice rows cover all classes, and n_cls * cap >= n — if
+    some image failed all passes every class would be full, contradicting
+    total capacity >= n.
+    """
+    n = intensity.shape[0]
+    choices = _spill_choice_table(n_cls)[intensity]          # (n, n_cls)
+    own = jnp.take_along_axis(logits, intensity[:, None], axis=1)[:, 0]
+    other = jnp.max(
+        jnp.where(jax.nn.one_hot(intensity, n_cls, dtype=bool),
+                  -jnp.inf, logits), axis=1)
+    margin = own - other
+    perm = jnp.argsort(-margin)          # most confident claim slots first
+    choices_p = choices[perm]
+
+    free = jnp.full((n_cls,), cap, jnp.int32)
+    assigned = jnp.full((n,), -1, jnp.int32)
+    for j in range(n_cls):
+        cand = choices_p[:, j]
+        pending = assigned < 0
+        onehot = (jax.nn.one_hot(cand, n_cls, dtype=jnp.int32)
+                  * pending[:, None].astype(jnp.int32))
+        pos = jnp.cumsum(onehot, axis=0) - onehot            # queue position
+        mypos = jnp.take_along_axis(pos, cand[:, None], axis=1)[:, 0]
+        ok = pending & (mypos < free[cand])
+        assigned = jnp.where(ok, cand, assigned)
+        free = free - jnp.sum(onehot * ok[:, None].astype(jnp.int32), axis=0)
+
+    inv = jnp.argsort(perm)
+    return assigned[inv]
+
+
 def make_device_binned_infer(
     classifier_apply: Callable,
     branch_applies: Sequence[Callable],
     chunk: int = 16,
+    spill: bool = False,
 ) -> Callable:
     """Fully on-device binned adaptive routing: ONE jitted program, zero host
     round-trips, adaptive FLOPs at `chunk` granularity.
@@ -364,6 +418,15 @@ def make_device_binned_infer(
     the routing decision (oracle-routed evaluation) while the classifier
     still runs for its logits cost — logits are returned so the classifier
     stays live in the compiled program even when its argmax is unused.
+
+    spill=True applies the ON-DEVICE capacity plan
+    (`_device_capacity_labels`, the fully-vectorized analog of
+    `BinnedAdaptiveEngine.plan_capacity_spill`): per-class counts are
+    capped at a chunk multiple and overflow images are served by a
+    neighboring branch, so skewed traffic runs exactly ceil(n/chunk)
+    real chunks — the partially-filled extra chunk (a whole branch
+    program for one overflow image) disappears. The returned intensity
+    stays the routing decision, not the serving assignment.
     """
     n_cls = len(branch_applies)
     branch_list = list(branch_applies)
@@ -377,11 +440,16 @@ def make_device_binned_infer(
             intensity = jnp.argmax(logits, axis=1)
         else:
             intensity = jnp.asarray(intensity)
+        if spill:
+            cap = -(-n // (n_cls * b)) * b
+            serve = _device_capacity_labels(intensity, logits, cap, n_cls)
+        else:
+            serve = intensity
 
         # Stable sort so results are reproducible; `order` lists image
-        # indices grouped by predicted class.
-        order = jnp.argsort(intensity, stable=True)
-        counts = jnp.sum(jax.nn.one_hot(intensity, n_cls, dtype=jnp.int32),
+        # indices grouped by serving class.
+        order = jnp.argsort(serve, stable=True)
+        counts = jnp.sum(jax.nn.one_hot(serve, n_cls, dtype=jnp.int32),
                          axis=0)                      # (n_cls,) true sizes
         padded = -(-counts // b) * b                   # chunk-aligned sizes
         seg_start = jnp.cumsum(padded) - padded        # aligned layout
@@ -428,11 +496,14 @@ def make_sharded_binned_infer(
     mesh,
     chunk: int = 16,
     axis: str = "data",
+    spill: bool = False,
 ) -> Callable:
     """Multi-chip serving: the on-device binned engine under shard_map over a
     data mesh. Each device classifies, sorts, and switch-dispatches ITS OWN
     batch shard — binning stays device-local, so scaling adds zero collectives
     to the serving path (no global sort, no all-gather; ICI is untouched).
+    spill applies the per-device capacity plan (`_device_capacity_labels`) —
+    also device-local, so it adds zero collectives too.
 
     Params are closed over (replicated); the global batch must divide the
     'data' axis size. Returns fn(x) -> (dehazed, intensity, logits), jitted.
@@ -440,7 +511,7 @@ def make_sharded_binned_infer(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     local = make_device_binned_infer(classifier_apply, branch_applies,
-                                     chunk=chunk)
+                                     chunk=chunk, spill=spill)
     spec = P(axis)
     fn = jax.shard_map(lambda xs: local(xs), mesh=mesh,
                        in_specs=(spec,), out_specs=(spec, spec, spec),

@@ -111,16 +111,20 @@ class AdaptiveDehazer:
                 batches, spill=spill):
             yield np.asarray(out), np.asarray(intensity)
 
-    def route_device_binned(self, images,
-                            chunk: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+    def route_device_binned(self, images, chunk: int = 16,
+                            spill: bool = False
+                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Fully on-device binned hard routing: one jitted program (classify
         + sort-binning + lax.switch chunks), zero host round-trips — the
-        high-throughput adaptive path on remote/tunneled runtimes."""
-        key = f"device_binned_{chunk}"
+        high-throughput adaptive path on remote/tunneled runtimes.
+        spill=True applies the on-device capacity plan (overflow served by a
+        neighboring branch; skewed traffic runs no extra chunks)."""
+        key = f"device_binned_{chunk}_{spill}"
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import make_device_binned_infer
             self._engines[key] = jax.jit(make_device_binned_infer(
-                self._classifier_apply(), self._branch_applies(), chunk=chunk))
+                self._classifier_apply(), self._branch_applies(), chunk=chunk,
+                spill=spill))
         out, intensity, _ = self._engines[key](jnp.asarray(images))
         return np.asarray(out), np.asarray(intensity)
 
@@ -138,7 +142,8 @@ class AdaptiveDehazer:
         return -(-n // m) * m  # multiples of the largest bucket beyond it
 
     def route_device_binned_stream(self, batches, chunk: int = 16,
-                                   depth: int = 2, buckets=None):
+                                   depth: int = 2, buckets=None,
+                                   spill: bool = False):
         """Highest-throughput serving: one on-device binned program per
         batch, enqueued asynchronously `depth` batches deep — no host label
         sync at all, so dispatch overhead and result fetch overlap device
@@ -147,11 +152,12 @@ class AdaptiveDehazer:
         (pad rows repeat the last image and are sliced off the results), so
         production traffic never recompiles. Yields
         (dehazed np.ndarray, intensity np.ndarray)."""
-        key = f"device_binned_{chunk}"
+        key = f"device_binned_{chunk}_{spill}"
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import make_device_binned_infer
             self._engines[key] = jax.jit(make_device_binned_infer(
-                self._classifier_apply(), self._branch_applies(), chunk=chunk))
+                self._classifier_apply(), self._branch_applies(), chunk=chunk,
+                spill=spill))
         fn = self._engines[key]
         buckets = tuple(sorted(buckets or self.STREAM_BUCKETS))
         pending = []

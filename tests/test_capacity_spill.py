@@ -145,3 +145,92 @@ def test_stream_spill_matches_call(key):
     np.testing.assert_array_equal(i_direct, i_stream)
     np.testing.assert_allclose(np.asarray(direct), np.asarray(streamed),
                                atol=1e-6)
+
+
+def test_device_capacity_labels_matches_policy():
+    from adam_dehaze_tpu.models.routing import _device_capacity_labels
+    intensity = jnp.asarray([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2])
+    logits = np.full((12, 3), -10.0, np.float32)
+    logits[np.arange(12), np.asarray(intensity)] = 10.0
+    logits[1, 1] = 9.9  # image 1 is the least-confident low -> it spills
+    eff = np.asarray(_device_capacity_labels(
+        intensity, jnp.asarray(logits), cap=4, n_cls=3))
+    counts = np.bincount(eff, minlength=3)
+    np.testing.assert_array_equal(counts, [4, 4, 4])
+    changed = np.nonzero(eff != np.asarray(intensity))[0]
+    np.testing.assert_array_equal(changed, [1])
+    assert eff[1] == 1  # stronger neighbor of class 0
+
+
+def test_device_capacity_labels_balanced_identity():
+    from adam_dehaze_tpu.models.routing import _device_capacity_labels
+    intensity = jnp.asarray(np.repeat(np.arange(3), 4))
+    logits = jnp.asarray(np.eye(3, dtype=np.float32)[np.asarray(intensity)])
+    eff = np.asarray(_device_capacity_labels(intensity, logits, 4, 3))
+    np.testing.assert_array_equal(eff, np.asarray(intensity))
+
+
+def test_device_capacity_labels_cascade_fills_all():
+    from adam_dehaze_tpu.models.routing import _device_capacity_labels
+    # every image predicted class 0: cap 2 per class, 6 images -> 2/2/2
+    intensity = jnp.zeros((6,), jnp.int32)
+    logits = jnp.asarray(np.tile([5.0, 1.0, 0.0], (6, 1)).astype(np.float32))
+    eff = np.asarray(_device_capacity_labels(intensity, logits, 2, 3))
+    np.testing.assert_array_equal(np.bincount(eff, minlength=3), [2, 2, 2])
+
+
+def test_device_binned_spill_serves_within_capacity(key):
+    from adam_dehaze_tpu.models.routing import make_device_binned_infer
+    labels = np.array([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2])
+    clf = _classifier_from_labels(labels)
+    fn = jax.jit(make_device_binned_infer(clf, _const_applies(), chunk=4,
+                                          spill=True))
+    x = jax.random.uniform(key, (12, 8, 8, 3)) + 0.5
+    y, intensity, _ = fn(x)
+    np.testing.assert_array_equal(np.asarray(intensity), labels)
+    served = _branch_of(y, x)
+    counts = np.bincount(served, minlength=3)
+    np.testing.assert_array_equal(counts, [4, 4, 4])
+    # non-overflow classes untouched
+    np.testing.assert_array_equal(served[5:], labels[5:])
+
+
+def test_device_binned_spill_balanced_matches_fidelity(key):
+    from adam_dehaze_tpu.models.routing import make_device_binned_infer
+    labels = np.repeat(np.arange(3), 4)
+    clf = _classifier_from_labels(labels)
+    fid = jax.jit(make_device_binned_infer(clf, _const_applies(), chunk=4))
+    sp = jax.jit(make_device_binned_infer(clf, _const_applies(), chunk=4,
+                                          spill=True))
+    x = jax.random.uniform(key, (12, 8, 8, 3)) + 0.5
+    y_f, i_f, _ = fid(x)
+    y_s, i_s, _ = sp(x)
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_s))
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s), atol=1e-6)
+
+
+def test_sharded_binned_spill_is_device_local(key):
+    """Capacity spill under shard_map: each device applies the plan to its
+    OWN shard (no collectives) — an all-one-class stream is served 1/3 per
+    branch on every device."""
+    from adam_dehaze_tpu.models.routing import make_sharded_binned_infer
+    from adam_dehaze_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    per_dev = 6
+    n = n_dev * per_dev
+    labels = np.zeros(n, np.int64)  # every image predicted low
+    clf = _classifier_from_labels(labels)
+    mesh = make_mesh({"data": n_dev, "spatial": 1, "model": 1})
+    mesh = jax.sharding.Mesh(mesh.devices.reshape(n_dev), ("data",))
+    fn = make_sharded_binned_infer(clf, _const_applies(), mesh, chunk=2,
+                                   spill=True)
+    x = jax.random.uniform(key, (n, 8, 8, 3)) + 0.5
+    y, intensity, _ = fn(x)
+    np.testing.assert_array_equal(np.asarray(intensity), labels)
+    served = _branch_of(y, x)
+    # per-device cap = 2 per class: every 6-image shard serves 2/2/2
+    for d in range(n_dev):
+        shard = served[d * per_dev:(d + 1) * per_dev]
+        np.testing.assert_array_equal(np.bincount(shard, minlength=3),
+                                      [2, 2, 2])
