@@ -441,6 +441,7 @@ def _s2d_residual(h, p, bs, name, c, dtype):
 
 def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
                         res_chain: Optional[bool] = None,
+                        tail_chain: bool = False,
                         interpret: bool = False):
     """Exact eval-mode serving path for `HighIntensityDehazeModel`
     (models/branches.py:176-238) with the FULL-RES (256²) stages — stem,
@@ -461,6 +462,12 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
     exact 3x3-tile MXU fit and wins; the c=192 segments pad to 2x2 tiles
     (56% MXU utilization) and lose to XLA's convs, so per-segment choice
     matters.
+
+    tail_chain: run everything after the d1 concat (up4 + residual + CBAM
+    + concat heads + guidance + blend) as ONE fused Pallas program per
+    image (ops/pallas/tail_chain.py) instead of ~10 XLA ops with HBM
+    round-trips between them. Dispatch choice is measurement-driven
+    (tools/probe_tail.py).
     """
     from adam_dehaze_tpu.nn.blocks import AttentionBlock, ConvBlock, ResidualBlock, UpBlock
 
@@ -552,14 +559,16 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
             v = res2.apply(_sub(variables, "ResidualBlock_6"), v, False)
             return attn2.apply(_sub(variables, "AttentionBlock_4"), v, False)
 
+    if tail_chain:
+        from adam_dehaze_tpu.ops.pallas.tail_chain import make_high_tail_chain
+        tail_fn = make_high_tail_chain(model, variables, dtype=dt,
+                                       interpret=interpret)
+    else:
+        tail_fn = None
+
     def apply_fn(x):
         xin = x.astype(dt)
         x2 = space_to_depth(xin)
-
-        g = s2d_conv(x2, kg1s, 16, k=3, shift=tg1, relu=True)
-        g = s2d_conv(g, kg2s, 16, k=3, shift=tg2, relu=True)
-        guidance = jax.nn.sigmoid(
-            s2d_conv(g, kgos, 1, k=1, shift=tgo))        # (n, h2, w2, 4)
 
         f0 = stem.apply(_sub(variables, "ConvBlock_2"), xin, False)
         f0s = space_to_depth(f0)                         # for the d2 concat
@@ -573,6 +582,15 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
         d1 = up0.apply(_sub(variables, "UpBlock_0"), b, False)
         d1 = chain_d1(d1)
         d1 = jnp.concatenate([d1, e1], axis=-1)          # plain, 128², 4c
+
+        if tail_fn is not None:
+            return depth_to_space(
+                tail_fn(d1, f0s, x2)).astype(jnp.float32)
+
+        g = s2d_conv(x2, kg1s, 16, k=3, shift=tg1, relu=True)
+        g = s2d_conv(g, kg2s, 16, k=3, shift=tg2, relu=True)
+        guidance = jax.nn.sigmoid(
+            s2d_conv(g, kgos, 1, k=1, shift=tgo))        # (n, h2, w2, 4)
 
         d2 = s2d_up4(d1, kup.astype(dt), shift=tup, relu=True)  # s2d, c
         d2 = _s2d_residual(d2, p, bs, "ResidualBlock_7", c, dt)

@@ -203,6 +203,38 @@ def main():
     results["attn_in_tail_ms"] = results["tail_isolated_ms"] - no_attn
     results["guidance_in_tail_ms"] = results["tail_isolated_ms"] - no_guid
 
+    # --- fused Pallas tail chain (ops/pallas/tail_chain.py) ---
+    if on_tpu or os.environ.get("PROBE_CHAIN"):
+        from adam_dehaze_tpu.ops.pallas.tail_chain import (
+            make_high_tail_chain,
+        )
+        interp = not on_tpu
+        strips = [int(s) for s in
+                  os.environ.get("PROBE_STRIPS", "16").split(",")]
+        for strip in strips:
+            try:
+                tfn = make_high_tail_chain(model, variables, dtype=dt,
+                                           strip=strip, interpret=interp)
+                chain = jax.jit(
+                    lambda d, f, z, _f=tfn: depth_to_space(_f(d, f, z)))
+                results[f"tail_chain_s{strip}_ms"] = _time(
+                    chain, d1_in, f0s_in, x2_in)
+                err = float(jnp.max(jnp.abs(
+                    chain(d1_in, f0s_in, x2_in)
+                    - tail_j(d1_in, f0s_in, x2_in))))
+                results[f"tail_chain_s{strip}_max_err"] = err
+            except Exception as e:
+                print(f"tail chain strip={strip} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            full_chain = jax.jit(make_high_s2d_apply(
+                model, variables, dtype=dt, tail_chain=True,
+                interpret=interp))
+            results["full_tail_chain_ms"] = _time(full_chain, x)
+        except Exception as e:
+            print(f"full tail-chain apply failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # analytics
     gf_tail = 68.9  # per image @256² (probe header derivation)
     for k in ("tail_in_context_ms", "tail_isolated_ms"):
