@@ -320,6 +320,22 @@ def main():
                     iters=max(ITERS // 3, 5))
                 result["spill_routing_trained_ms_per_image"] = round(
                     per_iter_sp / BATCH * 1000.0, 4)
+                # Same skew fix in the single-program engine: the on-device
+                # capacity plan (_device_capacity_labels) removes the
+                # partially-filled extra chunk. One extra compile.
+                try:
+                    dev_sp = jax.jit(make_device_binned_infer(
+                        clf_serving, serving_applies, chunk=bucket,
+                        spill=True))
+                    lab_dev = jnp.asarray(labels_trained)
+                    per_iter_dsp = _time(
+                        lambda: dev_sp(x_real, lab_dev)[0],
+                        iters=max(ITERS // 3, 5))
+                    result["device_spill_trained_ms_per_image"] = round(
+                        per_iter_dsp / BATCH * 1000.0, 4)
+                except Exception as e:
+                    print(f"device-spill variant skipped "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
         except Exception as e:
             print(f"trained-routing variant skipped "
                   f"({type(e).__name__}: {e})", file=sys.stderr)

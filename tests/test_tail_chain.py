@@ -28,6 +28,9 @@ from adam_dehaze_tpu.ops.pallas.tail_chain import make_high_tail_chain
 SIZE = 32
 BATCH = 2
 
+# interpret-mode runs at 384 lanes take minutes each
+pytestmark = pytest.mark.slow
+
 
 def _xla_tail(model, variables, dtype):
     """The serving tail exactly as make_high_s2d_apply composes it."""
@@ -121,3 +124,20 @@ def test_tail_chain_strip_invariance(key):
         outs.append(np.asarray(fn(d1, f0s, x2)))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
+
+
+def test_full_apply_with_tail_chain_matches_canonical(key):
+    """make_high_s2d_apply(tail_chain=True) == canonical forward (f32)."""
+    from adam_dehaze_tpu.ops.s2d import make_high_s2d_apply
+
+    model = HighIntensityDehazeModel(base_channels=96, use_pallas=False,
+                                     dtype=jnp.float32)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    fn = make_high_s2d_apply(model, variables, dtype=jnp.float32,
+                             tail_chain=True, interpret=True)
+    got = fn(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,10 @@
+#!/bin/bash
+# Round-3 continued: TPU measurement queue (fire once the axon tunnel is back).
+# 1. tail probe with chain rows (strips 16,8) -> logs/probe_tail_r3c.log
+# 2. full bench with the new fields        -> logs/bench_r3c.log
+set -x
+cd /root/repo
+PROBE_STRIPS=16,8 timeout 5400 python tools/probe_tail.py \
+    > logs/probe_tail_r3c.log 2>&1
+timeout 5400 python bench.py > logs/bench_r3c.log 2>&1
+echo "QUEUE DONE"
