@@ -60,9 +60,11 @@ def test_run_comprehensive_evaluation(synth_root, tmp_path):
     results = run_comprehensive_evaluation(cfg)
     # Reference JSON schema (reference: evaluate.py:522-538) + the fixed-
     # pipeline rows (adaptive-vs-fixed framing, reference README.md:146-149).
-    assert set(results) == {"baseline", "joint", "fixed", "detection",
-                            "comparison"}
+    assert set(results) == {"baseline", "joint", "fixed", "hard_routing",
+                            "detection", "comparison"}
     assert "psnr_improvement" in results["comparison"]
+    assert {"fidelity", "spill", "routing_acc",
+            "spilled_frac"} <= set(results["hard_routing"])
     assert "improvement_percent" in results["detection"]
     assert set(results["fixed"]) == {"fixed_low", "fixed_medium", "fixed_high"}
     for row in results["fixed"].values():

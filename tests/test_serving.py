@@ -113,7 +113,7 @@ def test_serving_device_binned_stream_ragged(experiment, rng):
         traces.append(x.shape)
         return inner(x, intensity)
 
-    dehazer._engines["device_binned_2"] = jax.jit(counted)
+    dehazer._engines["device_binned_2_False"] = jax.jit(counted)
 
     streamed = list(dehazer.route_device_binned_stream(
         batches, chunk=2, depth=2, buckets=(1, 2, 4, 8)))
