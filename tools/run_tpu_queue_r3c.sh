@@ -4,7 +4,7 @@
 # 2. full bench with the new fields        -> logs/bench_r3c.log
 set -x
 cd /root/repo
-PROBE_STRIPS=16,8 timeout 5400 python tools/probe_tail.py \
+PROBE_STRIPS=32,16,8 timeout 7200 python tools/probe_tail.py \
     > logs/probe_tail_r3c.log 2>&1
 timeout 5400 python bench.py > logs/bench_r3c.log 2>&1
 echo "QUEUE DONE"
