@@ -288,6 +288,222 @@ def _tail_kernel(d1_ref, f0_ref, x2_ref,
     strip_loop(out_body)
 
 
+def _medium_tail_kernel(d1_ref, f0_ref, x2_ref,
+                        kup_ref, kres_ref, kh1a_ref, kh1b_ref, kh2_ref,
+                        kout_ref, sh_ref,
+                        out_ref, a_ref, b_ref, *,
+                        h2: int, w2: int, stride: int, strip: int, c4: int,
+                        dtype):
+    """Medium-branch tail (models/branches.py:120-137 after the d1 concat):
+    up4 -> ResidualBlock_7 -> concat-free heads -> out conv -> tanh ->
+    direct residual blend. The high kernel minus CBAM and guidance; at
+    c=64 every real lane count is a 128 multiple (c4=256, head2 4*(c/2)
+    = 128 exactly, no padded roll widths)."""
+    c = c4 // 4
+    n_strips = h2 // strip
+    m_out = strip * stride
+    m_yb = m_out + stride
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 0) % stride
+    valid = jnp.logical_and(col >= RING, col < RING + w2)
+
+    a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
+    b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
+
+    def strip_loop(body):
+        def wrapped(s, carry):
+            body(s * (strip * stride))
+            return carry
+        jax.lax.fori_loop(0, n_strips, wrapped, 0)
+
+    def load_wins(ref, img0, pad_lo, t_rows, lanes=None):
+        lo = slice(0, lanes) if lanes is not None else slice(None)
+        if len(ref.shape) == 3:
+            return [ref[0, pl.ds(img0 + (u - pad_lo) * stride,
+                                 m_yb + GUARD), lo]
+                    for u in range(t_rows)]
+        return [ref[pl.ds(img0 + (u - pad_lo) * stride, m_yb + GUARD), lo]
+                for u in range(t_rows)]
+
+    def conv_pass(src_ref, dst_ref, tap_fn, co_g, shift_row, *, relu,
+                  skip=False, src_lanes=None, extra=None):
+        co, g = co_g
+        vmask = valid[:, :co]
+
+        def body(r0):
+            img0 = r0 + RING * stride
+            wins = load_wins(src_ref, img0, 1, 2, src_lanes)
+            acc = _conv_taps(wins, tap_fn, co, m_yb, 2)
+            if extra is not None:
+                ref2, tap2, lanes2 = extra
+                wins2 = load_wins(ref2, img0, 1, 2, lanes2)
+                acc = acc + _conv_taps(wins2, tap2, co, m_yb, 2)
+            y = _regroup(acc, stride, m_out, g, 1) + sh_ref[
+                shift_row:shift_row + 1, :co]
+            if skip:
+                y = y + dst_ref[pl.ds(img0, m_out),
+                                0:co].astype(jnp.float32)
+            if relu:
+                y = jax.nn.relu(y)
+            y = jnp.where(vmask, y, 0.0)
+            dst_ref[pl.ds(img0, m_out), 0:co] = y.astype(dst_ref.dtype)
+        strip_loop(body)
+
+    # 1. up4: d1 (plain, c4 lanes) -> d2 (s2d, 4 x c) into A
+    conv_pass(d1_ref, a_ref, lambda t: kup_ref[t], (c4, c), 0, relu=True)
+    # 2. residual block: conv_a A->B relu; conv_b B->(+A) relu
+    conv_pass(a_ref, b_ref, lambda t: kres_ref[0, t], (c4, c), 1, relu=True)
+    conv_pass(b_ref, a_ref, lambda t: kres_ref[1, t], (c4, c), 2, relu=True,
+              skip=True)
+    # 3. head conv 1 (concat-free): A (d2) + f0 -> B
+    conv_pass(a_ref, b_ref, lambda t: kh1a_ref[t], (c4, c), 3, relu=True,
+              extra=(f0_ref, lambda t: kh1b_ref[t], None))
+    # 4. head conv 2: B -> A[:, 0:128] (4 * c/2 = 128 real lanes, exact)
+    conv_pass(b_ref, a_ref, lambda t: kh2_ref[t], (128, c // 2), 4,
+              relu=True)
+
+    # 5. output conv + tanh + direct residual blend, to out_ref
+    def out_body(r0):
+        img0 = r0 + RING * stride
+        hwins = load_wins(a_ref, img0, 1, 2, 128)
+        acc = _conv_taps(hwins, lambda t: kout_ref[t], 128, m_yb, 2)
+        res = jnp.tanh(_regroup(acc, stride, m_out, 3, 1)
+                       + sh_ref[5:6, :128])
+        x2v = x2_ref[0, pl.ds(img0, m_out), :].astype(jnp.float32)
+        out = jnp.clip(x2v + res, 0.0, 1.0)
+        out_ref[0, pl.ds(img0, m_out), :] = out
+    strip_loop(out_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h2", "w2", "c4", "interpret", "strip"))
+def _run_tail_medium(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
+                     shifts, *, h2, w2, c4, interpret=False, strip=None):
+    stride = _round_up(w2 + 2 * RING, 8)
+    flat = (h2 + 2 * RING) * stride + GUARD
+    n = d1f.shape[0]
+    strip = strip or _pick_strip(h2)
+    dtype = kup.dtype
+    kernel = functools.partial(
+        _medium_tail_kernel, h2=h2, w2=w2, stride=stride, strip=strip,
+        c4=c4, dtype=dtype)
+    img_spec = lambda lanes: pl.BlockSpec(  # noqa: E731
+        (1, flat, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, (lambda i, _s=len(shape): (0,) * _s),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, flat, 128), jnp.float32),
+        grid=(n,),
+        in_specs=[
+            img_spec(c4), img_spec(c4), img_spec(128),
+            w_spec(4, c4, c4),                 # kup
+            w_spec(2, 4, c4, c4),              # kres
+            w_spec(4, c4, c4),                 # kh1a
+            w_spec(4, c4, c4),                 # kh1b
+            w_spec(4, c4, 128),                # kh2
+            w_spec(4, 128, 128),               # kout
+            w_spec(6, c4),                     # shifts
+        ],
+        out_specs=img_spec(128),
+        scratch_shapes=[
+            pltpu.VMEM((flat, c4), dtype),
+            pltpu.VMEM((flat, c4), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout, shifts)
+
+
+def make_medium_tail_chain(model, variables, dtype=jnp.bfloat16,
+                           interpret: bool = False,
+                           strip: Optional[int] = None):
+    """Build fn(d1, f0s, x2) -> blended s2d output (n, h2, w2, 12) f32,
+    the fused replacement for the tail of make_medium_s2d_apply
+    (ops/s2d.py:672-682): d1 is the plain (n, h2, w2, 4c) decoder state
+    after the first up/concat, f0s the s2d stem features, x2 the s2d
+    input image. Same math, one Pallas program per image; reference
+    architecture medium_intensity.py:60-117."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    c = model.base_channels
+    c4 = 4 * c
+    if (c4 % 128 != 0 or (4 * (c // 2)) % 128 != 0) and not interpret:
+        raise ValueError(f"medium tail chain needs lane-aligned widths, "
+                         f"got base_channels={c}")
+
+    def taps(k2):
+        return k2.reshape(4, k2.shape[2], k2.shape[3])
+
+    kup_raw, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
+                             p["UpBlock_1"]["BatchNorm_0"]["scale"],
+                             p["UpBlock_1"]["BatchNorm_0"]["bias"],
+                             bs["UpBlock_1"]["BatchNorm_0"]["mean"],
+                             bs["UpBlock_1"]["BatchNorm_0"]["var"])
+    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
+            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
+    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
+    phases = [kup_raw[a::2, b::2] for a in (0, 1) for b in (0, 1)]
+    kup = taps(jnp.concatenate(phases, axis=-1))             # (4, c4, c4)
+
+    rsub, rst = p["ResidualBlock_7"], bs["ResidualBlock_7"]
+    kr, tr = [], []
+    for j in (0, 1):
+        k, t = _fold_convblock(rsub, rst, f"ConvBlock_{j}")
+        kr.append(taps(s2d_conv_kernel(k)))
+        tr.append(jnp.tile(t, 4))
+    kres = jnp.stack(kr)                                     # (2, 4, c4, c4)
+
+    # heads: ConvBlock_3 consumes the [d2, f0] concat (8c s2d rows, split
+    # along s2d_concat's phase-major interleave), ConvBlock_4 -> c/2
+    kh1_raw, th1 = _fold_convblock(p, bs, "ConvBlock_3")
+    kh1s = s2d_conv_kernel(kh1_raw)                          # (2,2, 8c, c4)
+    rows = kh1s.reshape(2, 2, 4, 2 * c, c4)
+    kh1a = taps(rows[:, :, :, :c, :].reshape(2, 2, c4, c4))
+    kh1b = taps(rows[:, :, :, c:, :].reshape(2, 2, c4, c4))
+    kh2_raw, th2 = _fold_convblock(p, bs, "ConvBlock_4")
+    kh2 = taps(s2d_conv_kernel(kh2_raw))                     # (4, c4, 128)
+    kout_raw = p["Conv_0"]["kernel"]
+    tout = p["Conv_0"]["bias"]
+    kouts = s2d_conv_kernel(kout_raw)                        # (2,2, 2c, 12)
+    kout = taps(jnp.pad(kouts, ((0, 0), (0, 0), (0, 0), (0, 128 - 12))))
+
+    def row(vec, width=c4):
+        v = jnp.asarray(vec, jnp.float32).reshape(-1)
+        return jnp.pad(v, (0, width - v.shape[0]))
+
+    shifts = jnp.stack([
+        row(tup if tup.shape[0] == c4 else jnp.tile(tup, 4)),
+        row(tr[0]), row(tr[1]),
+        row(jnp.tile(th1, 4)),
+        row(jnp.tile(th2, 4)),                               # 128 real
+        row(jnp.tile(tout, 4)),                              # 12 real
+    ])
+
+    cast = lambda a: a.astype(dtype)  # noqa: E731
+    kup, kres, kh1a, kh1b, kh2, kout = map(
+        cast, (kup, kres, kh1a, kh1b, kh2, kout))
+
+    def apply_fn(d1, f0s, x2):
+        n, h2, w2, _ = d1.shape
+        stride = _round_up(w2 + 2 * RING, 8)
+        d1f = _flatten(d1.astype(dtype), h2, w2, stride)
+        f0f = _flatten(f0s.astype(dtype), h2, w2, stride)
+        x2f = _flatten(x2.astype(dtype), h2, w2, stride, lanes=128)
+        out = _run_tail_medium(d1f, f0f, x2f, kup, kres, kh1a, kh1b,
+                               kh2, kout, shifts,
+                               h2=h2, w2=w2, c4=c4, interpret=interpret,
+                               strip=strip)
+        out = out[:, :(h2 + 2 * RING) * stride, :]
+        out = out.reshape(n, h2 + 2 * RING, stride, 128)
+        return out[:, RING:RING + h2, RING:RING + w2, :12]
+
+    return apply_fn
+
+
 def _pick_strip(h2: int) -> int:
     for s in (16, 8, 4, 2, 1):
         if h2 % s == 0:

@@ -610,11 +610,19 @@ def make_high_s2d_apply(model, variables, dtype=jnp.bfloat16,
     return apply_fn
 
 
-def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
+def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16,
+                          tail_chain: bool = False,
+                          interpret: bool = False):
     """Exact eval-mode serving path for `MediumIntensityDehazeModel`
     (models/branches.py:90-137): stem, decoder tail, and heads in the s2d
     domain; inner stages canonical. Same rationale as
-    `make_high_s2d_apply`."""
+    `make_high_s2d_apply`.
+
+    tail_chain: run everything after the d1 concat (up4 + residual +
+    concat heads + blend) as ONE fused Pallas program per image
+    (ops/pallas/tail_chain.py:make_medium_tail_chain) instead of ~7 XLA
+    ops. Dispatch choice is measurement-driven (tools/probe_medium_tail.py).
+    """
     from adam_dehaze_tpu.nn.blocks import ConvBlock, ResidualBlock, UpBlock
 
     p = variables["params"]
@@ -647,6 +655,15 @@ def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
     down2 = ConvBlock(4 * c, 4, stride=2, padding=1, dtype=dt)
     up0 = UpBlock(2 * c, dtype=dt)
 
+    if tail_chain:
+        from adam_dehaze_tpu.ops.pallas.tail_chain import (
+            make_medium_tail_chain,
+        )
+        tail_fn = make_medium_tail_chain(model, variables, dtype=dt,
+                                         interpret=interpret)
+    else:
+        tail_fn = None
+
     def apply_fn(x):
         xin = x.astype(dt)
         x2 = space_to_depth(xin)
@@ -668,6 +685,10 @@ def make_medium_s2d_apply(model, variables, dtype=jnp.bfloat16):
         d1 = up0.apply(_sub(variables, "UpBlock_0"), b, False)
         d1 = res2.apply(_sub(variables, "ResidualBlock_6"), d1, False)
         d1 = jnp.concatenate([d1, e1], axis=-1)          # plain, 128², 4c
+
+        if tail_fn is not None:
+            return depth_to_space(
+                tail_fn(d1, f0s, x2)).astype(jnp.float32)
 
         d2 = s2d_up4(d1, kup.astype(dt), shift=tup, relu=True)  # s2d, c
         d2 = _s2d_residual(d2, p, bs, "ResidualBlock_7", c, dt)

@@ -10,7 +10,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from adam_dehaze_tpu.models.branches import HighIntensityDehazeModel
+from adam_dehaze_tpu.models.branches import (
+    HighIntensityDehazeModel,
+    MediumIntensityDehazeModel,
+)
 from adam_dehaze_tpu.ops.s2d import (
     _fold_bn,
     _fold_convblock,
@@ -23,7 +26,10 @@ from adam_dehaze_tpu.ops.s2d import (
     s2d_up4,
     space_to_depth,
 )
-from adam_dehaze_tpu.ops.pallas.tail_chain import make_high_tail_chain
+from adam_dehaze_tpu.ops.pallas.tail_chain import (
+    make_high_tail_chain,
+    make_medium_tail_chain,
+)
 
 SIZE = 32
 BATCH = 2
@@ -138,6 +144,81 @@ def test_full_apply_with_tail_chain_matches_canonical(key):
     want = model.apply(variables, x, train=False)
     fn = make_high_s2d_apply(model, variables, dtype=jnp.float32,
                              tail_chain=True, interpret=True)
+    got = fn(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _medium_xla_tail(model, variables, dtype):
+    """The medium serving tail exactly as make_medium_s2d_apply composes
+    it (ops/s2d.py:684-695)."""
+    from adam_dehaze_tpu.ops.s2d import _fold_bn as fold_bn
+
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    c = model.base_channels
+    kup, tup_ = fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
+                        p["UpBlock_1"]["BatchNorm_0"]["scale"],
+                        p["UpBlock_1"]["BatchNorm_0"]["bias"],
+                        bs["UpBlock_1"]["BatchNorm_0"]["mean"],
+                        bs["UpBlock_1"]["BatchNorm_0"]["var"])
+    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
+            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
+    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
+    kh1, th1 = _fold_convblock(p, bs, "ConvBlock_3")
+    kh2, th2 = _fold_convblock(p, bs, "ConvBlock_4")
+    kout, tout = p["Conv_0"]["kernel"], p["Conv_0"]["bias"]
+    kh1s = s2d_conv_kernel(kh1).astype(dtype)
+    kh2s = s2d_conv_kernel(kh2).astype(dtype)
+    kouts = s2d_conv_kernel(kout).astype(dtype)
+
+    def tail(d1, f0s, x2):
+        d1 = d1.astype(dtype)
+        f0s = f0s.astype(dtype)
+        x2 = x2.astype(dtype)
+        d2 = s2d_up4(d1, kup.astype(dtype), shift=tup, relu=True)
+        d2 = _s2d_residual(d2, p, bs, "ResidualBlock_7", c, dtype)
+        d2 = s2d_concat(d2, f0s, c, c)
+        h = s2d_conv(d2, kh1s, c, k=3, shift=th1, relu=True)
+        h = s2d_conv(h, kh2s, c // 2, k=3, shift=th2, relu=True)
+        res = s2d_conv(h, kouts, 3, k=3, shift=tout)
+        res = jnp.tanh(res)
+        out = jnp.clip(x2 + res, 0.0, 1.0)
+        return depth_to_space(out).astype(jnp.float32)
+
+    return tail
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 3e-2)])
+def test_medium_tail_chain_matches_xla_tail(key, dtype, tol):
+    model = MediumIntensityDehazeModel(base_channels=64, use_pallas=False,
+                                       dtype=jnp.float32)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    d1, f0s, x2 = _inputs(key, model.base_channels)
+
+    ref = _medium_xla_tail(model, variables, dtype)(d1, f0s, x2)
+    chain = make_medium_tail_chain(model, variables, dtype=dtype,
+                                   interpret=True)
+    got = depth_to_space(chain(d1, f0s, x2))
+    assert got.shape == ref.shape
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < tol, f"max err {err} (dtype {dtype})"
+
+
+def test_medium_full_apply_with_tail_chain_matches_canonical(key):
+    """make_medium_s2d_apply(tail_chain=True) == canonical forward (f32)."""
+    from adam_dehaze_tpu.ops.s2d import make_medium_s2d_apply
+
+    model = MediumIntensityDehazeModel(base_channels=64, use_pallas=False,
+                                       dtype=jnp.float32)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    fn = make_medium_s2d_apply(model, variables, dtype=jnp.float32,
+                               tail_chain=True, interpret=True)
     got = fn(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)

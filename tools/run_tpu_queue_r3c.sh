@@ -6,5 +6,7 @@ set -x
 cd /root/repo
 PROBE_STRIPS=32,16,8 timeout 7200 python tools/probe_tail.py \
     > logs/probe_tail_r3c.log 2>&1
+PROBE_STRIPS=32,16,8 timeout 7200 python tools/probe_medium_tail.py \
+    > logs/probe_medium_tail_r3c.log 2>&1
 timeout 5400 python bench.py > logs/bench_r3c.log 2>&1
 echo "QUEUE DONE"
