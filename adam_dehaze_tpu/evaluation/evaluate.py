@@ -149,11 +149,23 @@ def evaluate_hard_routing(config, router=None, state=None) -> Dict[str, Any]:
       images are served by a neighboring branch's free pad slots, so the
       serving cost equals the balanced cost.
 
-    This is the QUALITY side of the spill trade-off: the artifact rows let
-    a deployment decide whether the (typically <=0.1 dB on a well-trained
-    classifier, since only near-boundary images spill) PSNR delta is worth
-    the latency. Returns {"fidelity": {...}, "spill": {...},
-    "routing_acc": float, "spilled_frac": float}."""
+    Spill quality depends on the per-batch traffic mix, so it is measured
+    under TWO regimes:
+
+    - steady (key "spill"): the test set is permuted with a fixed seed so
+      each batch approximates the corpus's class mix — the deployment case
+      the capacity plan is designed for; only per-batch multinomial
+      overflow (near-boundary images when logits are available) spills.
+    - ordered (key "spill_ordered"): the loader's native
+      intensity-sorted order — every batch is 100% one class, the
+      adversarial worst case (cap = ceil(B/3) forces ~2/3 of each batch
+      onto neighbor branches). A deployment whose traffic arrives
+      class-clumped at batch granularity should use fidelity mode or
+      per-class queues instead of spill.
+
+    Returns {"fidelity": {...}, "spill": {...}, "spill_ordered": {...},
+    "routing_acc": float, "spilled_frac": float,
+    "spilled_frac_ordered": float}."""
     from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
 
     if router is None:
@@ -174,33 +186,78 @@ def evaluate_hard_routing(config, router=None, state=None) -> Dict[str, Any]:
                                   branch_applies, buckets=(bucket,))
 
     img = config["dataset"]["img_size"]
+
+    # Materialize the test set once (static shapes), so the steady-state
+    # pass can permute across batches while reusing the compiled shapes.
+    hazy_all, clear_all, level_all = [], [], []
+    batch_shape = None
+    for batch in get_dataloader(config, "test", shard_per_host=False):
+        batch_shape = batch["hazy"].shape
+        m = batch["mask"]
+        hazy_all.append(np.asarray(batch["hazy"])[m])
+        clear_all.append(np.asarray(batch["clear"])[m])
+        level_all.append(np.asarray(batch["intensity"])[m])
+    hazy_all = np.concatenate(hazy_all)
+    clear_all = np.concatenate(clear_all)
+    level_all = np.concatenate(level_all)
+    n_imgs = hazy_all.shape[0]
+    bsz = batch_shape[0]
+
+    def _batches(order):
+        for i in range(0, n_imgs, bsz):
+            idx = order[i:i + bsz]
+            pad = bsz - idx.size
+            full = np.concatenate([idx, np.zeros(pad, np.int64)])
+            mask = np.concatenate([np.ones(idx.size, bool),
+                                   np.zeros(pad, bool)])
+            yield full, mask
+
     accs = {mode: ImageQualityMetrics(image_shape=(1, img, img, 3))
-            for mode in ("fidelity", "spill")}
-    n_correct = n_total = n_spilled = 0
-    loader = get_dataloader(config, "test", shard_per_host=False)
-    for batch in loader:
-        hazy = jnp.asarray(batch["hazy"])
-        mask = batch["mask"]
-        logits = np.asarray(engine._logits(hazy))
-        pred = logits.argmax(axis=1)
-        out_fid, _ = engine(hazy, intensity=pred)
-        serve_labels = engine.plan_capacity_spill(pred, logits)
-        out_sp = engine._dispatch(hazy, serve_labels)
-        accs["fidelity"].add_batch(np.asarray(out_fid)[mask],
-                                   batch["clear"][mask], "overall")
-        accs["spill"].add_batch(np.asarray(out_sp)[mask],
-                                batch["clear"][mask], "overall")
-        n_correct += int((pred[mask] == batch["intensity"][mask]).sum())
-        n_spilled += int((serve_labels[mask] != pred[mask]).sum())
-        n_total += int(mask.sum())
+            for mode in ("fidelity", "spill", "spill_ordered")}
+    counters = {"steady": [0, 0], "ordered": [0, 0]}  # [spilled, total]
+    n_correct = n_total = 0
+
+    orders = {
+        "ordered": np.arange(n_imgs),
+        "steady": np.random.default_rng(0).permutation(n_imgs),
+    }
+    for regime, order in orders.items():
+        spill_key = "spill" if regime == "steady" else "spill_ordered"
+        for idx, mask in _batches(order):
+            hazy = jnp.asarray(hazy_all[idx])
+            clear = clear_all[idx]
+            logits = np.asarray(engine._logits(hazy))
+            pred = logits.argmax(axis=1)
+            serve_labels = engine.plan_capacity_spill(pred, logits)
+            out_sp = engine._dispatch(hazy, serve_labels)
+            accs[spill_key].add_batch(np.asarray(out_sp)[mask],
+                                      clear[mask], "overall")
+            counters[regime][0] += int(
+                (serve_labels[mask] != pred[mask]).sum())
+            counters[regime][1] += int(mask.sum())
+            if regime == "ordered":
+                # fidelity + routing accuracy once, on the native order
+                out_fid, _ = engine(hazy, intensity=pred)
+                accs["fidelity"].add_batch(np.asarray(out_fid)[mask],
+                                           clear[mask], "overall")
+                n_correct += int(
+                    (pred[mask] == level_all[idx][mask]).sum())
+                n_total += int(mask.sum())
+
     results = {mode: accs[mode].compute_averages().get("overall", {})
                for mode in accs}
     results["routing_acc"] = n_correct / max(n_total, 1)
-    results["spilled_frac"] = n_spilled / max(n_total, 1)
+    results["spilled_frac"] = counters["steady"][0] / max(
+        counters["steady"][1], 1)
+    results["spilled_frac_ordered"] = counters["ordered"][0] / max(
+        counters["ordered"][1], 1)
     print(f"  hard routing (acc {results['routing_acc']:.3f}): "
           f"fidelity PSNR {results['fidelity'].get('psnr', float('nan')):.2f}"
-          f" | spill PSNR {results['spill'].get('psnr', float('nan')):.2f}"
-          f" ({results['spilled_frac'] * 100:.1f}% spilled)")
+          f" | spill steady PSNR "
+          f"{results['spill'].get('psnr', float('nan')):.2f} "
+          f"({results['spilled_frac'] * 100:.1f}% spilled) | spill ordered "
+          f"{results['spill_ordered'].get('psnr', float('nan')):.2f} "
+          f"({results['spilled_frac_ordered'] * 100:.1f}%)")
     return results
 
 

@@ -25,7 +25,8 @@ from adam_dehaze_tpu.config import load_config, update_checkpoint_paths
 
 
 class AdaptiveDehazer:
-    def __init__(self, router, state, config):
+    def __init__(self, router, state, config, autotune: bool = False,
+                 autotune_cache: Optional[str] = None):
         self.router = router
         self.config = config
         self._variables = {"params": state.params,
@@ -33,17 +34,28 @@ class AdaptiveDehazer:
         self._soft = jax.jit(
             lambda x: router.apply(self._variables, x, train=False))
         self._engines: Dict[str, object] = {}
+        self._autotune = autotune
+        self._autotune_cache = autotune_cache
+        self.autotune_report: Dict[str, dict] = {}
 
     @classmethod
     def from_experiment(cls, experiment_dir: str,
-                        config_path: Optional[str] = None) -> "AdaptiveDehazer":
-        """Load config + best joint checkpoint from an experiment dir."""
+                        config_path: Optional[str] = None,
+                        autotune: bool = False) -> "AdaptiveDehazer":
+        """Load config + best joint checkpoint from an experiment dir.
+
+        autotune=True replaces the hand-probed per-branch serving dispatch
+        with an on-the-spot fair-dtype A/B over every equivalence-tested
+        serving path (serving_autotune.py), cached in the experiment dir so
+        later loads skip the timing."""
         cfg_file = config_path or os.path.join(experiment_dir, "config.yaml")
         config = load_config(cfg_file if os.path.exists(cfg_file) else None)
         config = update_checkpoint_paths(config, experiment_dir)
         from adam_dehaze_tpu.evaluation.evaluate import _load_joint
         router, state = _load_joint(config)
-        return cls(router, state, config)
+        return cls(router, state, config, autotune=autotune,
+                   autotune_cache=os.path.join(experiment_dir,
+                                               "serving_autotune.json"))
 
     def __call__(self, images) -> np.ndarray:
         """Soft-routed dehazing: (N, H, W, 3) float [0,1] -> same."""
@@ -61,6 +73,16 @@ class AdaptiveDehazer:
             sub = {"params": self._variables["params"][f"models_{level}"],
                    "batch_stats": self._variables["batch_stats"][f"models_{level}"]}
             module = self.router.models[level]
+            if self._autotune and quant != "int8":
+                from adam_dehaze_tpu.serving_autotune import load_or_tune
+                img = self.config["dataset"]["img_size"]
+                fn, report = load_or_tune(
+                    module, sub, dtype=dtype,
+                    sample_shape=(16, img, img, 3),
+                    cache_path=self._autotune_cache)
+                self.autotune_report[level] = report
+                fns.append(fn)
+                continue
             # Lane-aligned s2d serving path for the small-channel low branch
             # (exact; ops/s2d.py), canonical apply otherwise.
             fn = make_serving_apply(module, sub, dtype=dtype)

@@ -101,10 +101,13 @@ def test_evaluate_hard_routing(synth_root, tmp_path):
     from adam_dehaze_tpu.evaluation.evaluate import evaluate_hard_routing
     cfg = eval_config(synth_root, str(tmp_path))
     res = evaluate_hard_routing(cfg)
-    assert {"fidelity", "spill", "routing_acc", "spilled_frac"} <= set(res)
+    assert {"fidelity", "spill", "spill_ordered", "routing_acc",
+            "spilled_frac", "spilled_frac_ordered"} <= set(res)
     assert res["fidelity"].get("samples", 0) > 0
     assert res["spill"]["samples"] == res["fidelity"]["samples"]
+    assert res["spill_ordered"]["samples"] == res["fidelity"]["samples"]
     assert 0.0 <= res["routing_acc"] <= 1.0
     assert 0.0 <= res["spilled_frac"] <= 1.0
-    for mode in ("fidelity", "spill"):
+    assert 0.0 <= res["spilled_frac_ordered"] <= 1.0
+    for mode in ("fidelity", "spill", "spill_ordered"):
         assert np.isfinite(res[mode]["psnr"])
