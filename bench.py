@@ -29,6 +29,7 @@ better). Prints exactly ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -180,6 +181,43 @@ def main():
         make_serving_apply(branches[n], branch_vars[n], dtype=serving_dtype)
         for n in ("low", "medium", "high")
     ]
+
+    # BENCH_AUTOTUNE=1: consult the serving-autotune cache written by
+    # tools/autotune_serving.py earlier in the TPU queue (cache HITS only —
+    # bench never times candidates itself). The cache key is weight-
+    # independent (backend/arch/width/dtype/shape), so decisions made on
+    # the trained experiment transfer to bench's random-init parity models.
+    dispatch_used = {}
+    if os.environ.get("BENCH_AUTOTUNE"):
+        from adam_dehaze_tpu.serving_autotune import (
+            _cache_key,
+            candidate_builders,
+        )
+        cache_path = os.environ.get(
+            "BENCH_AUTOTUNE_CACHE",
+            "experiments/full_system_r3/serving_autotune.json")
+        cache = {}
+        if os.path.exists(cache_path):
+            try:
+                with open(cache_path) as f:
+                    cache = json.load(f)
+            except (OSError, ValueError):
+                cache = {}
+        sample_shape = (BATCH // 3, SIZE, SIZE, 3)
+        for i, n in enumerate(("low", "medium", "high")):
+            hit = cache.get(_cache_key(branches[n], serving_dtype,
+                                       sample_shape))
+            if not hit:
+                continue
+            cands = candidate_builders(branches[n], branch_vars[n],
+                                       serving_dtype)
+            if hit["best"] in cands:
+                try:
+                    serving_applies[i] = cands[hit["best"]]()
+                    dispatch_used[n] = hit["best"]
+                except Exception as e:
+                    print(f"autotuned dispatch {n}={hit['best']} failed "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
     branch_applies = [jax.jit(f) for f in serving_applies]
     bucket = BATCH // 3
     engine = BinnedAdaptiveEngine(classifier_apply, branch_applies,
@@ -190,6 +228,8 @@ def main():
     skewed = np.full(BATCH, 2)  # all-high: worst-case adaptive FLOPs
 
     result = {"unit": "ms/image"}
+    if dispatch_used:
+        result["autotuned_dispatch"] = dispatch_used
     try:
         per_iter = _time(lambda: engine(x, intensity=balanced)[0])
         ms = per_iter / BATCH * 1000.0
