@@ -188,3 +188,71 @@ def test_sharded_binned_with_s2d_applies(key):
     np.testing.assert_array_equal(np.asarray(intensity), np.asarray(i_sel))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_sel),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_run_queued_ordered_traffic(key):
+    """Class-clumped batches: full same-class buckets, fidelity outputs,
+    zero pad waste before the flush."""
+    classifier, applies, _ = _setup(key)
+
+    def clumped(img):
+        # batch index encoded in the mean by construction below
+        b = jnp.round(img.mean(axis=(1, 2, 3)) * 100).astype(jnp.int32)
+        return jax.nn.one_hot(b % 3, 3) * 10.0, None
+
+    engine = BinnedAdaptiveEngine(clumped, applies, buckets=(1, 2, 4))
+    # 3 batches of 5, each entirely one class (mean ~= cls/100)
+    batches = [jnp.full((5, 16, 16, 3), cls / 100.0) for cls in range(3)]
+    got = list(engine.run_queued(batches, queue_bucket=4))
+    # per class: one full bucket of 4 + one flushed remainder of 1
+    sizes = {}
+    for out, gidx, cls in got:
+        assert out.shape[0] == gidx.size
+        sizes.setdefault(cls, []).append(gidx.size)
+    assert sizes == {0: [4, 1], 1: [4, 1], 2: [4, 1]}
+    # every global index served exactly once
+    all_idx = np.concatenate([g for _, g, _ in got])
+    np.testing.assert_array_equal(np.sort(all_idx), np.arange(15))
+    # fidelity: outputs equal the predicted branch's direct apply
+    xs = jnp.concatenate(batches)
+    for out, gidx, cls in got:
+        want = applies[cls](xs[jnp.asarray(gidx)])
+        np.testing.assert_allclose(out, np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_run_queued_mixed_traffic_matches_fidelity(key):
+    """Mixed batches, cross-batch composition: same per-image results as
+    fidelity mode, all indices covered."""
+    classifier, applies, _ = _setup(key)
+    engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4, 8))
+    k1, k2, k3 = jax.random.split(key, 3)
+    batches = [jax.random.uniform(kk, (6, 16, 16, 3)) for kk in (k1, k2, k3)]
+    xs = jnp.concatenate(batches)
+    labels = np.asarray(engine._classify(xs))
+    got = list(engine.run_queued(batches, queue_bucket=4))
+    all_idx = np.concatenate([g for _, g, _ in got])
+    np.testing.assert_array_equal(np.sort(all_idx), np.arange(18))
+    y_fid = np.zeros((18, 16, 16, 3), np.float32)
+    for out, gidx, cls in got:
+        assert (labels[gidx] == cls).all()
+        y_fid[gidx] = out
+    want, _ = engine(xs, intensity=labels)
+    np.testing.assert_allclose(y_fid, np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_run_queued_no_flush_holds_tails(key):
+    classifier, applies, _ = _setup(key)
+    engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4))
+
+    def all_high(img):
+        n = img.shape[0]
+        return jnp.tile(jnp.array([[0.0, 0.0, 10.0]]), (n, 1)), None
+
+    engine = BinnedAdaptiveEngine(all_high, applies, buckets=(1, 2, 4))
+    batches = [jax.random.uniform(key, (3, 16, 16, 3))]
+    got = list(engine.run_queued(batches, queue_bucket=4, flush=False))
+    assert got == []  # 3 < 4: queued, never dispatched
+    got = list(engine.run_queued(batches, queue_bucket=4, flush=True))
+    assert len(got) == 1 and got[0][2] == 2 and got[0][1].size == 3
