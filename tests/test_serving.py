@@ -127,3 +127,40 @@ def test_serving_device_binned_stream_ragged(experiment, rng):
         yd, idir = dehazer.route_device_binned(b, chunk=2)
         np.testing.assert_array_equal(inten, idir)
         np.testing.assert_allclose(out, yd, atol=1e-6)
+
+
+def test_serving_queued(experiment, rng):
+    """route_hard_queued == fidelity outputs, full index coverage."""
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    batches = [rng.random((3, 32, 32, 3), dtype=np.float32)
+               for _ in range(3)]
+    xs = np.concatenate(batches)
+    want, labels = dehazer.route_hard(xs)
+    got = np.zeros_like(want)
+    seen = []
+    for out, gidx, cls in dehazer.route_hard_queued(batches, queue_bucket=4):
+        assert (labels[gidx] == cls).all()
+        got[gidx] = out
+        seen.append(gidx)
+    np.testing.assert_array_equal(np.sort(np.concatenate(seen)),
+                                  np.arange(9))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_serving_autotuned_dispatch(experiment, rng):
+    """from_experiment(autotune=True): tuned applies serve identically and
+    the decision cache lands in the experiment dir."""
+    dehazer = AdaptiveDehazer.from_experiment(experiment, autotune=True)
+    images = rng.random((4, 32, 32, 3), dtype=np.float32)
+    ref = AdaptiveDehazer.from_experiment(experiment)
+    out, intensity = dehazer.route_hard(images)
+    want, i_want = ref.route_hard(images)
+    np.testing.assert_array_equal(intensity, i_want)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+    assert set(dehazer.autotune_report) == {"low", "medium", "high"}
+    cache = os.path.join(experiment, "serving_autotune.json")
+    assert os.path.exists(cache)
+    # a fresh instance reuses the cache without re-timing
+    dehazer2 = AdaptiveDehazer.from_experiment(experiment, autotune=True)
+    dehazer2.route_hard(images)
+    assert all(r["cached"] for r in dehazer2.autotune_report.values())
