@@ -256,3 +256,29 @@ def test_run_queued_no_flush_holds_tails(key):
     assert got == []  # 3 < 4: queued, never dispatched
     got = list(engine.run_queued(batches, queue_bucket=4, flush=True))
     assert len(got) == 1 and got[0][2] == 2 and got[0][1].size == 3
+
+
+def test_engines_serve_every_image_exactly_once_randomized(key):
+    """Invariant sweep across traffic patterns: every engine mode serves
+    each image exactly once with finite outputs and in-range labels."""
+    classifier, applies, _ = _setup(key)
+    engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4))
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        sizes = rng.integers(1, 7, size=rng.integers(1, 4))
+        batches = [jnp.asarray(rng.uniform(size=(s, 16, 16, 3))
+                               .astype(np.float32)) for s in sizes]
+        total = int(sizes.sum())
+        # queued mode
+        seen = np.zeros(total, np.int32)
+        for out, gidx, cls in engine.run_queued(batches, queue_bucket=4):
+            assert np.isfinite(out).all()
+            assert 0 <= cls < 3
+            seen[gidx] += 1
+        np.testing.assert_array_equal(seen, 1)
+        # batch modes on the concatenation
+        xs = jnp.concatenate(batches)
+        for spill in (False, True):
+            out, labels = engine(xs, spill=spill)
+            assert np.isfinite(np.asarray(out)).all()
+            assert ((labels >= 0) & (labels < 3)).all()
