@@ -92,6 +92,10 @@ def candidate_builders(model, variables, dtype) -> Dict[str, Callable]:
                 model, variables, dtype=dtype, res_chain=("e2b",))
             cands["s2d_tail_chain"] = lambda: s2d.make_high_s2d_apply(
                 model, variables, dtype=dtype, tail_chain=True)
+            cands["s2d_res_e2b_tail_chain"] = (
+                lambda: s2d.make_high_s2d_apply(
+                    model, variables, dtype=dtype, res_chain=("e2b",),
+                    tail_chain=True))
     return cands
 
 
