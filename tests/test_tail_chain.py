@@ -222,3 +222,21 @@ def test_medium_full_apply_with_tail_chain_matches_canonical(key):
     got = fn(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_full_apply_res_and_tail_chain_matches_canonical(key):
+    """The autotuner's combined candidate: res_chain('e2b') + tail_chain
+    in one serving apply (f32 interpret) == canonical forward."""
+    from adam_dehaze_tpu.ops.s2d import make_high_s2d_apply
+
+    model = HighIntensityDehazeModel(base_channels=96, use_pallas=False,
+                                     dtype=jnp.float32)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    x = jax.random.uniform(key, (1, SIZE, SIZE, 3), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    fn = make_high_s2d_apply(model, variables, dtype=jnp.float32,
+                             res_chain=("e2b",), tail_chain=True,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
