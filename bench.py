@@ -378,6 +378,30 @@ def main():
                 except Exception as e:
                     print(f"device-spill variant skipped "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
+                # Queued serving (continuous batching, run_queued): the
+                # trained traffic arrives as three ~pure-class batches of
+                # `bucket` — exactly the class-clumped case where fidelity
+                # pays extra padded programs and spill pays quality. The
+                # queue dispatches only FULL same-class buckets, so the
+                # cost should sit at the balanced floor with fidelity
+                # outputs. Reuses the branch applies already compiled at
+                # bucket shape via engine.branch_applies.
+                try:
+                    qbatches = [x_real[i:i + bucket]
+                                for i in range(0, x_real.shape[0], bucket)]
+
+                    def _run_q():
+                        last = None
+                        for out, _g, _c in engine.run_queued(
+                                qbatches, queue_bucket=bucket):
+                            last = out
+                        return jnp.asarray(last)
+                    per_iter_q = _time(_run_q, iters=max(ITERS // 3, 5))
+                    result["queued_routing_trained_ms_per_image"] = round(
+                        per_iter_q / BATCH * 1000.0, 4)
+                except Exception as e:
+                    print(f"queued variant skipped "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
         except Exception as e:
             print(f"trained-routing variant skipped "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
