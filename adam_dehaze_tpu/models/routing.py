@@ -326,7 +326,7 @@ class BinnedAdaptiveEngine:
 
 
     def run_queued(self, batches, queue_bucket: Optional[int] = None,
-                   flush: bool = True):
+                   flush: bool = True, intensities=None):
         """Cross-batch per-class queueing (continuous batching) for
         class-clumped traffic.
 
@@ -351,7 +351,10 @@ class BinnedAdaptiveEngine:
         per dispatched bucket; `global_indices` index the concatenated
         input stream so the caller can reassemble arrival order. With
         flush=True (default), per-class remainders are served at the end
-        through the padded bucket ladder.
+        through the padded bucket ladder. `intensities` optionally gives
+        per-batch label arrays (mirrors run_stream): the classifier still
+        runs for cost realism, but queue composition follows the given
+        labels — e.g. bench.py's trained-traffic row.
         """
         import numpy as np
         q = queue_bucket or self.buckets[-1]
@@ -391,27 +394,36 @@ class BinnedAdaptiveEngine:
                     counts[cls] += local.size
 
         base = 0
-        pending = None  # (x_dev, pred_dev, base)
+        pending = None  # (x_dev, pred_dev, given_intensity, base)
+        intensities = iter(intensities) if intensities is not None else None
         for x in batches:
             x = jnp.asarray(x)
+            given = next(intensities) if intensities is not None else None
             pred = self._classify(x)  # enqueued async
             if pending is not None:
-                px, ppred, pbase = pending
-                _enqueue(px, np.asarray(ppred), pbase)
+                px, ppred, pgiven, pbase = pending
+                labels = (np.asarray(pgiven) if pgiven is not None
+                          else np.asarray(ppred))
+                _enqueue(px, labels, pbase)
                 for cls in range(k):
                     yield from _drain_full(cls)
-            pending = (x, pred, base)
+            pending = (x, pred, given, base)
             base += int(x.shape[0])
         if pending is not None:
-            px, ppred, pbase = pending
-            _enqueue(px, np.asarray(ppred), pbase)
+            px, ppred, pgiven, pbase = pending
+            labels = (np.asarray(pgiven) if pgiven is not None
+                      else np.asarray(ppred))
+            _enqueue(px, labels, pbase)
             for cls in range(k):
                 yield from _drain_full(cls)
 
         if flush:
             for cls in range(k):
                 while counts[cls] > 0:
-                    take = min(counts[cls], q)
+                    # Remainders go through the padded bucket ladder, whose
+                    # largest program is buckets[-1] — chunk there even when
+                    # queue_bucket is larger (matches _dispatch).
+                    take = min(counts[cls], q, self.buckets[-1])
                     xq, gidx = _compose(cls, take)
                     b = self._bucket(take)
                     if b != take:

@@ -102,15 +102,46 @@ def candidate_builders(model, variables, dtype) -> Dict[str, Callable]:
 def _cache_key(model, dtype, sample_shape) -> str:
     base = getattr(model, "base_channels", 0)
     shape = "x".join(str(int(s)) for s in sample_shape)
-    return (f"{jax.default_backend()}:{type(model).__name__}:{base}:"
+    # device_kind distinguishes TPU generations (v5e vs v6e ...): a cached
+    # winner is exactly as stale across generations as across backends.
+    kind = jax.devices()[0].device_kind.replace(" ", "_")
+    return (f"{jax.default_backend()}:{kind}:{type(model).__name__}:{base}:"
             f"{jnp.dtype(dtype).name}:{shape}")
+
+
+def _read_cache(cache_path: Optional[str]) -> Dict:
+    if not cache_path or not os.path.exists(cache_path):
+        return {}
+    try:
+        with open(cache_path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def load_cached(model, variables, dtype, sample_shape, cache_path):
+    """Read-only cache consultation: (apply_fn, entry) when the cache holds
+    a buildable winner for this key, else (None, None). Never times, never
+    writes — bench.py uses this so the driver benchmark adopts on-chip
+    autotune decisions without timing candidates itself."""
+    hit = _read_cache(cache_path).get(_cache_key(model, dtype, sample_shape))
+    if not hit:
+        return None, None
+    cands = candidate_builders(model, variables, dtype)
+    if hit.get("best") not in cands:
+        return None, None
+    return cands[hit["best"]](), {**hit, "cached": True}
 
 
 def autotune(model, variables, dtype, sample_shape,
              iters: int = 5, warm: int = 2,
              candidates: Optional[Dict[str, Callable]] = None,
              ) -> Tuple[str, Dict[str, float]]:
-    """Time every candidate at `sample_shape`; return (winner, ms table).
+    """Time every candidate at `sample_shape`; return (winner, ms table,
+    winner_fn). winner_fn is the ALREADY-JITTED (and compiled, at
+    sample_shape) timed function — callers should reuse it rather than
+    rebuild, since axon compiles are terminal-side and expensive
+    (CLAUDE.md).
 
     Candidates that fail to build or run land in the table as `null` and
     never win. All contenders run at the same serving dtype (the
@@ -119,7 +150,8 @@ def autotune(model, variables, dtype, sample_shape,
     x = jax.random.uniform(jax.random.PRNGKey(0), tuple(sample_shape),
                            jnp.float32)
     table: Dict[str, Optional[float]] = {}
-    best: Tuple[Optional[str], float] = (None, float("inf"))
+    best: Tuple[Optional[str], float, Optional[Callable]] = (
+        None, float("inf"), None)
     for name, build in cands.items():
         try:
             fn = jax.jit(build())
@@ -134,35 +166,32 @@ def autotune(model, variables, dtype, sample_shape,
             ms = (time.perf_counter() - t0) / iters * 1000.0
             table[name] = round(ms, 4)
             if ms < best[1]:
-                best = (name, ms)
+                best = (name, ms, fn)
         except Exception as e:  # alignment constraint, OOM, ...
             table[name] = None
             table[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     if best[0] is None:
         raise RuntimeError(f"no serving candidate ran: {table}")
-    return best[0], table
+    return best[0], table, best[2]
 
 
 def load_or_tune(model, variables, dtype, sample_shape,
                  cache_path: Optional[str] = None,
                  iters: int = 5, warm: int = 2):
-    """Return (apply_fn, report). A cache hit skips timing entirely."""
+    """Return (apply_fn, report). A cache hit skips timing entirely; on a
+    miss the returned fn is the jitted winner that was timed (already
+    compiled at sample_shape — no second compile)."""
     key = _cache_key(model, dtype, sample_shape)
-    cache = {}
-    if cache_path and os.path.exists(cache_path):
-        try:
-            with open(cache_path) as f:
-                cache = json.load(f)
-        except (OSError, ValueError):
-            cache = {}
+    cache = _read_cache(cache_path)
     cands = candidate_builders(model, variables, dtype)
     hit = cache.get(key)
     if hit and hit.get("best") in cands:
         fn = cands[hit["best"]]()
         return fn, {**hit, "cached": True}
 
-    best_name, table = autotune(model, variables, dtype, sample_shape,
-                                iters=iters, warm=warm, candidates=cands)
+    best_name, table, best_fn = autotune(
+        model, variables, dtype, sample_shape,
+        iters=iters, warm=warm, candidates=cands)
     report = {"best": best_name, "table": table, "cached": False}
     if cache_path:
         cache[key] = {"best": best_name, "table": table}
@@ -170,4 +199,4 @@ def load_or_tune(model, variables, dtype, sample_shape,
         with open(tmp, "w") as f:
             json.dump(cache, f, indent=2, sort_keys=True)
         os.replace(tmp, cache_path)
-    return cands[best_name](), report
+    return best_fn, report

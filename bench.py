@@ -191,35 +191,23 @@ def main():
     # random-init parity models.
     dispatch_used = {}
     if os.environ.get("BENCH_AUTOTUNE", "1") != "0":
-        from adam_dehaze_tpu.serving_autotune import (
-            _cache_key,
-            candidate_builders,
-        )
+        from adam_dehaze_tpu.serving_autotune import load_cached
         cache_path = os.environ.get(
             "BENCH_AUTOTUNE_CACHE",
             "experiments/full_system_r3/serving_autotune.json")
-        cache = {}
-        if os.path.exists(cache_path):
-            try:
-                with open(cache_path) as f:
-                    cache = json.load(f)
-            except (OSError, ValueError):
-                cache = {}
         sample_shape = (BATCH // 3, SIZE, SIZE, 3)
         for i, n in enumerate(("low", "medium", "high")):
-            hit = cache.get(_cache_key(branches[n], serving_dtype,
-                                       sample_shape))
-            if not hit:
+            try:
+                fn, hit = load_cached(branches[n], branch_vars[n],
+                                      serving_dtype, sample_shape,
+                                      cache_path)
+            except Exception as e:
+                print(f"autotuned dispatch for {n} failed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
                 continue
-            cands = candidate_builders(branches[n], branch_vars[n],
-                                       serving_dtype)
-            if hit["best"] in cands:
-                try:
-                    serving_applies[i] = cands[hit["best"]]()
-                    dispatch_used[n] = hit["best"]
-                except Exception as e:
-                    print(f"autotuned dispatch {n}={hit['best']} failed "
-                          f"({type(e).__name__}: {e})", file=sys.stderr)
+            if fn is not None:
+                serving_applies[i] = fn
+                dispatch_used[n] = hit["best"]
     branch_applies = [jax.jit(f) for f in serving_applies]
     bucket = BATCH // 3
     engine = BinnedAdaptiveEngine(classifier_apply, branch_applies,
@@ -389,11 +377,17 @@ def main():
                 try:
                     qbatches = [x_real[i:i + bucket]
                                 for i in range(0, x_real.shape[0], bucket)]
+                    qlabels = [labels_trained[i:i + bucket]
+                               for i in range(0, x_real.shape[0], bucket)]
 
                     def _run_q():
                         last = None
+                        # Queue composition follows the TRAINED labels
+                        # (the row's name says trained traffic); the
+                        # engine's classifier still runs for cost realism.
                         for out, _g, _c in engine.run_queued(
-                                qbatches, queue_bucket=bucket):
+                                qbatches, queue_bucket=bucket,
+                                intensities=qlabels):
                             last = out
                         return jnp.asarray(last)
                     per_iter_q = _time(_run_q, iters=max(ITERS // 3, 5))

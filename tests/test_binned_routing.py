@@ -258,6 +258,61 @@ def test_run_queued_no_flush_holds_tails(key):
     assert len(got) == 1 and got[0][2] == 2 and got[0][1].size == 3
 
 
+def test_run_queued_bucket_beyond_ladder_flushes(key):
+    """queue_bucket larger than buckets[-1]: the flush chunks remainders at
+    the ladder's largest program instead of broadcasting a negative pad."""
+    classifier, applies, _ = _setup(key)
+
+    def all_high(img):
+        n = img.shape[0]
+        return jnp.tile(jnp.array([[0.0, 0.0, 10.0]]), (n, 1)), None
+
+    engine = BinnedAdaptiveEngine(all_high, applies, buckets=(1, 2, 4))
+    batches = [jax.random.uniform(key, (5, 16, 16, 3))]
+    got = list(engine.run_queued(batches, queue_bucket=8))
+    # 5 < 8: nothing drains; flush serves 4 + 1 through the ladder
+    assert [g.size for _, g, _ in got] == [4, 1]
+    all_idx = np.concatenate([g for _, g, _ in got])
+    np.testing.assert_array_equal(np.sort(all_idx), np.arange(5))
+    xs = batches[0]
+    for out, gidx, cls in got:
+        assert cls == 2
+        want = applies[cls](xs[jnp.asarray(gidx)])
+        np.testing.assert_allclose(out, np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_run_queued_intensities_override(key):
+    """Given per-batch labels drive queue composition (the classifier's
+    predictions are ignored), mirroring run_stream's intensities arg."""
+    classifier, applies, _ = _setup(key)
+
+    def all_low(img):
+        n = img.shape[0]
+        return jnp.tile(jnp.array([[10.0, 0.0, 0.0]]), (n, 1)), None
+
+    engine = BinnedAdaptiveEngine(all_low, applies, buckets=(1, 2, 4))
+    k1, k2 = jax.random.split(key)
+    batches = [jax.random.uniform(k1, (4, 16, 16, 3)),
+               jax.random.uniform(k2, (4, 16, 16, 3))]
+    labels = [np.array([2, 2, 2, 2]), np.array([1, 1, 2, 2])]
+    got = list(engine.run_queued(batches, queue_bucket=4,
+                                 intensities=labels))
+    by_cls = {}
+    for out, gidx, cls in got:
+        by_cls.setdefault(cls, []).append(gidx.size)
+    # classifier says all-low, but the override routes 6 high + 2 medium
+    assert 0 not in by_cls
+    assert sorted(by_cls[2]) == [2, 4] and by_cls[1] == [2]
+    xs = jnp.concatenate(batches)
+    lab = np.concatenate(labels)
+    for out, gidx, cls in got:
+        assert (lab[gidx] == cls).all()
+        want = applies[cls](xs[jnp.asarray(gidx)])
+        np.testing.assert_allclose(out, np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_engines_serve_every_image_exactly_once_randomized(key):
     """Invariant sweep across traffic patterns: every engine mode serves
     each image exactly once with finite outputs and in-range labels."""

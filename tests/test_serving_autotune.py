@@ -19,6 +19,7 @@ from adam_dehaze_tpu.models.branches import (
 from adam_dehaze_tpu.serving_autotune import (
     autotune,
     candidate_builders,
+    load_cached,
     load_or_tune,
 )
 
@@ -44,12 +45,15 @@ def test_candidates_cpu(low_model):
 
 def test_autotune_picks_a_working_apply(low_model):
     model, variables = low_model
-    best, table = autotune(model, variables, jnp.float32, SHAPE,
-                           iters=1, warm=1)
+    best, table, best_fn = autotune(model, variables, jnp.float32, SHAPE,
+                                    iters=1, warm=1)
     assert best in table and table[best] is not None
-    fn = candidate_builders(model, variables, jnp.float32)[best]()
     x = jax.random.uniform(jax.random.PRNGKey(1), SHAPE, jnp.float32)
     want = model.apply(variables, x, train=False)
+    # the returned winner is the timed (already-jitted) fn
+    np.testing.assert_allclose(np.asarray(best_fn(x)), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    fn = candidate_builders(model, variables, jnp.float32)[best]()
     np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
 
@@ -62,8 +66,8 @@ def test_autotune_skips_broken_candidate(low_model):
         raise ValueError("lane alignment")
 
     cands = {"broken": broken, **cands}
-    best, table = autotune(model, variables, jnp.float32, SHAPE,
-                           iters=1, warm=1, candidates=cands)
+    best, table, _fn = autotune(model, variables, jnp.float32, SHAPE,
+                                iters=1, warm=1, candidates=cands)
     assert best != "broken"
     assert table["broken"] is None
     assert "ValueError" in table["broken_error"]
@@ -87,6 +91,26 @@ def test_load_or_tune_caches(low_model, tmp_path):
     x = jax.random.uniform(jax.random.PRNGKey(1), SHAPE, jnp.float32)
     np.testing.assert_allclose(np.asarray(fn1(x)), np.asarray(fn2(x)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_load_cached_read_only(low_model, tmp_path):
+    """load_cached returns (None, None) on a miss without creating the
+    cache, and the winner after a tune — never timing or writing itself."""
+    model, variables = low_model
+    cache = str(tmp_path / "autotune.json")
+    fn, hit = load_cached(model, variables, jnp.float32, SHAPE, cache)
+    assert fn is None and hit is None
+    assert not os.path.exists(cache)
+    _, rep = load_or_tune(model, variables, jnp.float32, SHAPE,
+                          cache_path=cache, iters=1, warm=1)
+    mtime = os.path.getmtime(cache)
+    fn, hit = load_cached(model, variables, jnp.float32, SHAPE, cache)
+    assert hit["best"] == rep["best"] and hit["cached"] is True
+    assert os.path.getmtime(cache) == mtime
+    x = jax.random.uniform(jax.random.PRNGKey(1), SHAPE, jnp.float32)
+    want = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_cache_key_distinguishes_shape_and_dtype(low_model, tmp_path):

@@ -1,6 +1,8 @@
 #!/bin/bash
 # Poll for the axon tunnel; fire the round-3c TPU queue the moment it's
-# back. Bounded at ~11h; PID recorded in /tmp/tpu_wait.pid for kill.
+# back. Bounded at ~11h. Records its own PID in /tmp/tpu_wait.pid so the
+# watcher can be stopped with `kill $(cat /tmp/tpu_wait.pid)`.
+echo $$ > /tmp/tpu_wait.pid
 cd /root/repo
 deadline=$(( $(date +%s) + 39600 ))
 while [ "$(date +%s)" -lt "$deadline" ]; do
