@@ -104,27 +104,27 @@ def _regroup(acc, stride: int, m_out: int, g: int, pad_lo: int):
                                jnp.where(blk == 2, p10, p11)))
 
 
-def _tail_kernel(d1_ref, f0_ref, x2_ref,
-                 kup_ref, kres_ref, kh1a_ref, kh1b_ref, kh2_ref, kout_ref,
-                 kg1_ref, kg2_ref, kgo_ref, kst_ref,
-                 k0t_ref, k0m_ref, k1_ref, sh_ref,
-                 out_ref, a_ref, b_ref, *,
-                 h2: int, w2: int, stride: int, strip: int, c4: int,
-                 dtype):
-    """One image through the whole tail. a_ref/b_ref are (flat, c4)
-    ping-pong buffers; the stats plane and guidance intermediates reuse
-    their dead lane ranges (see the pass comments)."""
-    c = c4 // 4
+def _kernel_helpers(sh_ref, valid, *, h2: int, stride: int, strip: int,
+                    c4: int):
+    """Shared in-kernel machinery for the tail kernels (high and medium
+    use identical strip iteration, window loading and conv-layer passes;
+    the high kernel adds CBAM/guidance stages on top).
+
+    Returns (strip_loop, load_wins, conv_pass):
+    - strip_loop(body): fori_loop over strips, body(r0) with r0 the
+      strip's flat row offset before the ring.
+    - load_wins(ref, img0, pad_lo, t_rows, lanes=None): T row-windows for
+      a strip whose first image row sits at flat offset img0 (a multiple
+      of stride); window u starts at img0 - pad_lo*stride + u*stride —
+      all stride multiples. Input refs are (1, flat, lanes) blocks,
+      scratch is (flat, lanes).
+    - conv_pass(...): one conv layer over all strips; co_g = (co_lanes,
+      group width); `extra` optionally adds a second (ref, tap_fn2,
+      lanes) operand summed into the accumulator (the concat-free head
+      conv)."""
     n_strips = h2 // strip
     m_out = strip * stride
     m_yb = m_out + stride
-    flat = a_ref.shape[0]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 0) % stride
-    valid = jnp.logical_and(col >= RING, col < RING + w2)
-
-    a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
-    b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
 
     def strip_loop(body):
         def wrapped(s, carry):
@@ -133,10 +133,6 @@ def _tail_kernel(d1_ref, f0_ref, x2_ref,
         jax.lax.fori_loop(0, n_strips, wrapped, 0)
 
     def load_wins(ref, img0, pad_lo, t_rows, lanes=None):
-        """T row-windows for a strip whose first image row sits at flat
-        offset img0 (a multiple of stride); window u starts at
-        img0 - pad_lo*stride + u*stride — all stride multiples. Input
-        refs are (1, flat, lanes) blocks, scratch is (flat, lanes)."""
         lo = slice(0, lanes) if lanes is not None else slice(None)
         if len(ref.shape) == 3:
             return [ref[0, pl.ds(img0 + (u - pad_lo) * stride,
@@ -150,9 +146,6 @@ def _tail_kernel(d1_ref, f0_ref, x2_ref,
     def conv_pass(src_ref, dst_ref, tap_fn, co_g, shift_row, *, relu,
                   skip=False, pad_lo=1, t_rows=2, t_cols=2,
                   src_lanes=None, extra=None):
-        """One conv layer over all strips. co_g = (co_lanes, group width).
-        `extra` optionally adds a second (ref, tap_fn2, lanes) operand
-        summed into the accumulator (the concat-free head conv)."""
         co, g = co_g
         vmask = valid[:, :co] if co <= c4 else None
 
@@ -175,6 +168,31 @@ def _tail_kernel(d1_ref, f0_ref, x2_ref,
                 y = jnp.where(vmask, y, 0.0)
             dst_ref[pl.ds(img0, m_out), 0:co] = y.astype(dst_ref.dtype)
         strip_loop(body)
+
+    return strip_loop, load_wins, conv_pass
+
+
+def _tail_kernel(d1_ref, f0_ref, x2_ref,
+                 kup_ref, kres_ref, kh1a_ref, kh1b_ref, kh2_ref, kout_ref,
+                 kg1_ref, kg2_ref, kgo_ref, kst_ref,
+                 k0t_ref, k0m_ref, k1_ref, sh_ref,
+                 out_ref, a_ref, b_ref, *,
+                 h2: int, w2: int, stride: int, strip: int, c4: int,
+                 dtype):
+    """One image through the whole tail. a_ref/b_ref are (flat, c4)
+    ping-pong buffers; the stats plane and guidance intermediates reuse
+    their dead lane ranges (see the pass comments)."""
+    c = c4 // 4
+    m_out = strip * stride
+    m_yb = m_out + stride
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 0) % stride
+    valid = jnp.logical_and(col >= RING, col < RING + w2)
+    strip_loop, load_wins, conv_pass = _kernel_helpers(
+        sh_ref, valid, h2=h2, stride=stride, strip=strip, c4=c4)
+
+    a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
+    b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
 
     # ---- 1. up4: d1 (plain, c4 lanes) -> d2 (s2d, 4 x c) into A ----
     conv_pass(d1_ref, a_ref, lambda t: kup_ref[t], (c4, c), 0, relu=True)
@@ -300,54 +318,16 @@ def _medium_tail_kernel(d1_ref, f0_ref, x2_ref,
     c=64 every real lane count is a 128 multiple (c4=256, head2 4*(c/2)
     = 128 exactly, no padded roll widths)."""
     c = c4 // 4
-    n_strips = h2 // strip
     m_out = strip * stride
     m_yb = m_out + stride
 
     col = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 0) % stride
     valid = jnp.logical_and(col >= RING, col < RING + w2)
+    strip_loop, load_wins, conv_pass = _kernel_helpers(
+        sh_ref, valid, h2=h2, stride=stride, strip=strip, c4=c4)
 
     a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
     b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
-
-    def strip_loop(body):
-        def wrapped(s, carry):
-            body(s * (strip * stride))
-            return carry
-        jax.lax.fori_loop(0, n_strips, wrapped, 0)
-
-    def load_wins(ref, img0, pad_lo, t_rows, lanes=None):
-        lo = slice(0, lanes) if lanes is not None else slice(None)
-        if len(ref.shape) == 3:
-            return [ref[0, pl.ds(img0 + (u - pad_lo) * stride,
-                                 m_yb + GUARD), lo]
-                    for u in range(t_rows)]
-        return [ref[pl.ds(img0 + (u - pad_lo) * stride, m_yb + GUARD), lo]
-                for u in range(t_rows)]
-
-    def conv_pass(src_ref, dst_ref, tap_fn, co_g, shift_row, *, relu,
-                  skip=False, src_lanes=None, extra=None):
-        co, g = co_g
-        vmask = valid[:, :co]
-
-        def body(r0):
-            img0 = r0 + RING * stride
-            wins = load_wins(src_ref, img0, 1, 2, src_lanes)
-            acc = _conv_taps(wins, tap_fn, co, m_yb, 2)
-            if extra is not None:
-                ref2, tap2, lanes2 = extra
-                wins2 = load_wins(ref2, img0, 1, 2, lanes2)
-                acc = acc + _conv_taps(wins2, tap2, co, m_yb, 2)
-            y = _regroup(acc, stride, m_out, g, 1) + sh_ref[
-                shift_row:shift_row + 1, :co]
-            if skip:
-                y = y + dst_ref[pl.ds(img0, m_out),
-                                0:co].astype(jnp.float32)
-            if relu:
-                y = jax.nn.relu(y)
-            y = jnp.where(vmask, y, 0.0)
-            dst_ref[pl.ds(img0, m_out), 0:co] = y.astype(dst_ref.dtype)
-        strip_loop(body)
 
     # 1. up4: d1 (plain, c4 lanes) -> d2 (s2d, 4 x c) into A
     conv_pass(d1_ref, a_ref, lambda t: kup_ref[t], (c4, c), 0, relu=True)
@@ -435,46 +415,19 @@ def make_medium_tail_chain(model, variables, dtype=jnp.bfloat16,
         raise ValueError(f"medium tail chain needs lane-aligned widths, "
                          f"got base_channels={c}")
 
-    def taps(k2):
-        return k2.reshape(4, k2.shape[2], k2.shape[3])
+    kup, tup = _fold_up4(p, bs)                              # (4, c4, c4)
+    kres, tr = _fold_res_taps(p, bs)                         # (2, 4, c4, c4)
 
-    kup_raw, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
-                             p["UpBlock_1"]["BatchNorm_0"]["scale"],
-                             p["UpBlock_1"]["BatchNorm_0"]["bias"],
-                             bs["UpBlock_1"]["BatchNorm_0"]["mean"],
-                             bs["UpBlock_1"]["BatchNorm_0"]["var"])
-    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
-            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
-    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
-    phases = [kup_raw[a::2, b::2] for a in (0, 1) for b in (0, 1)]
-    kup = taps(jnp.concatenate(phases, axis=-1))             # (4, c4, c4)
-
-    rsub, rst = p["ResidualBlock_7"], bs["ResidualBlock_7"]
-    kr, tr = [], []
-    for j in (0, 1):
-        k, t = _fold_convblock(rsub, rst, f"ConvBlock_{j}")
-        kr.append(taps(s2d_conv_kernel(k)))
-        tr.append(jnp.tile(t, 4))
-    kres = jnp.stack(kr)                                     # (2, 4, c4, c4)
-
-    # heads: ConvBlock_3 consumes the [d2, f0] concat (8c s2d rows, split
-    # along s2d_concat's phase-major interleave), ConvBlock_4 -> c/2
-    kh1_raw, th1 = _fold_convblock(p, bs, "ConvBlock_3")
-    kh1s = s2d_conv_kernel(kh1_raw)                          # (2,2, 8c, c4)
-    rows = kh1s.reshape(2, 2, 4, 2 * c, c4)
-    kh1a = taps(rows[:, :, :, :c, :].reshape(2, 2, c4, c4))
-    kh1b = taps(rows[:, :, :, c:, :].reshape(2, 2, c4, c4))
+    # heads: ConvBlock_3 consumes the [d2, f0] concat, ConvBlock_4 -> c/2
+    kh1a, kh1b, th1 = _fold_head1_split(p, bs, "ConvBlock_3", c, c4)
     kh2_raw, th2 = _fold_convblock(p, bs, "ConvBlock_4")
-    kh2 = taps(s2d_conv_kernel(kh2_raw))                     # (4, c4, 128)
+    kh2 = _taps(s2d_conv_kernel(kh2_raw))                    # (4, c4, 128)
     kout_raw = p["Conv_0"]["kernel"]
     tout = p["Conv_0"]["bias"]
     kouts = s2d_conv_kernel(kout_raw)                        # (2,2, 2c, 12)
-    kout = taps(jnp.pad(kouts, ((0, 0), (0, 0), (0, 0), (0, 128 - 12))))
+    kout = _taps(jnp.pad(kouts, ((0, 0), (0, 0), (0, 0), (0, 128 - 12))))
 
-    def row(vec, width=c4):
-        v = jnp.asarray(vec, jnp.float32).reshape(-1)
-        return jnp.pad(v, (0, width - v.shape[0]))
-
+    row = functools.partial(_shift_row, width=c4)
     shifts = jnp.stack([
         row(tup if tup.shape[0] == c4 else jnp.tile(tup, 4)),
         row(tr[0]), row(tr[1]),
@@ -575,6 +528,57 @@ def _flatten(x2, h2: int, w2: int, stride: int, lanes: Optional[int] = None):
     return xp
 
 
+def _taps(k2):
+    """(2, 2, ci, co) s2d kernel -> (4, ci, co) tap stack."""
+    return k2.reshape(4, k2.shape[2], k2.shape[3])
+
+
+def _fold_up4(p, bs):
+    """Sub-pixel phases of UpBlock_1's ConvTranspose with folded BN
+    (ops/s2d.py:s2d_up4); returns (kup (4, c4, c4) tap stack, tup)."""
+    kup_raw, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
+                             p["UpBlock_1"]["BatchNorm_0"]["scale"],
+                             p["UpBlock_1"]["BatchNorm_0"]["bias"],
+                             bs["UpBlock_1"]["BatchNorm_0"]["mean"],
+                             bs["UpBlock_1"]["BatchNorm_0"]["var"])
+    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
+            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
+    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
+    phases = [kup_raw[a::2, b::2] for a in (0, 1) for b in (0, 1)]
+    return _taps(jnp.concatenate(phases, axis=-1)), tup
+
+
+def _fold_res_taps(p, bs, name="ResidualBlock_7"):
+    """Residual block's two conv layers as s2d tap stacks; returns
+    (kres (2, 4, c4, c4), [shift_a, shift_b])."""
+    rsub, rst = p[name], bs[name]
+    kr, tr = [], []
+    for j in (0, 1):
+        k, t = _fold_convblock(rsub, rst, f"ConvBlock_{j}")
+        kr.append(_taps(s2d_conv_kernel(k)))
+        tr.append(jnp.tile(t, 4))
+    return jnp.stack(kr), tr
+
+
+def _shift_row(vec, width):
+    """Bias/BN-shift vector padded to one `width`-lane shift-table row."""
+    v = jnp.asarray(vec, jnp.float32).reshape(-1)
+    return jnp.pad(v, (0, width - v.shape[0]))
+
+
+def _fold_head1_split(p, bs, name, c, c4):
+    """Head conv consuming the [d2, f0] concat, split into the d2 half and
+    the f0 half along the s2d_concat phase-major interleave (rows
+    [p*(2c) : p*(2c)+c] are d2 phase p, the next c rows f0 phase p), so
+    the kernel needs no in-VMEM concat; returns (kh1a, kh1b, th1)."""
+    kh1_raw, th1 = _fold_convblock(p, bs, name)
+    kh1s = s2d_conv_kernel(kh1_raw)                          # (2,2, 8c, c4)
+    rows = kh1s.reshape(2, 2, 4, 2 * c, c4)
+    kh1a = _taps(rows[:, :, :, :c, :].reshape(2, 2, c4, c4))
+    kh1b = _taps(rows[:, :, :, c:, :].reshape(2, 2, c4, c4))
+    return kh1a, kh1b, th1
+
+
 def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
                          interpret: bool = False,
                          strip: Optional[int] = None):
@@ -591,30 +595,8 @@ def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
         raise ValueError(f"tail chain needs 4*base_channels % 128 == 0, "
                          f"got {c4}")
 
-    def taps(k2):
-        """(2, 2, ci, co) s2d kernel -> (4, ci, co) tap stack."""
-        return k2.reshape(4, k2.shape[2], k2.shape[3])
-
-    # up4: sub-pixel phases of the ConvTranspose (ops/s2d.py:s2d_up4)
-    kup_raw, tup_ = _fold_bn(p["UpBlock_1"]["ConvTranspose_0"]["kernel"],
-                             p["UpBlock_1"]["BatchNorm_0"]["scale"],
-                             p["UpBlock_1"]["BatchNorm_0"]["bias"],
-                             bs["UpBlock_1"]["BatchNorm_0"]["mean"],
-                             bs["UpBlock_1"]["BatchNorm_0"]["var"])
-    s_up = (p["UpBlock_1"]["BatchNorm_0"]["scale"]
-            / jnp.sqrt(bs["UpBlock_1"]["BatchNorm_0"]["var"] + 1e-5))
-    tup = tup_ + s_up * p["UpBlock_1"]["ConvTranspose_0"]["bias"]
-    phases = [kup_raw[a::2, b::2] for a in (0, 1) for b in (0, 1)]
-    kup = taps(jnp.concatenate(phases, axis=-1))             # (4, c4, c4)
-
-    # residual block convs
-    rsub, rst = p["ResidualBlock_7"], bs["ResidualBlock_7"]
-    kr, tr = [], []
-    for j in (0, 1):
-        k, t = _fold_convblock(rsub, rst, f"ConvBlock_{j}")
-        kr.append(taps(s2d_conv_kernel(k)))
-        tr.append(jnp.tile(t, 4))
-    kres = jnp.stack(kr)                                     # (2, 4, c4, c4)
+    kup, tup = _fold_up4(p, bs)                              # (4, c4, c4)
+    kres, tr = _fold_res_taps(p, bs)                         # (2, 4, c4, c4)
 
     # attention params
     ap = p["AttentionBlock_5"]
@@ -628,30 +610,24 @@ def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
     kst = jnp.pad(kst_raw.reshape(16, 8, 4),
                   ((0, 0), (0, 120), (0, 124)))              # (16, 128, 128)
 
-    # head convs; kh1 split into the d2 half and the f0 half along the
-    # s2d_concat phase-major interleave (rows [p*(2c) : p*(2c)+c] are d2
-    # phase p, the next c rows are f0 phase p)
-    kh1_raw, th1 = _fold_convblock(p, bs, "ConvBlock_5")
-    kh1s = s2d_conv_kernel(kh1_raw)                          # (2,2, 8c, c4)
-    rows = kh1s.reshape(2, 2, 4, 2 * c, c4)
-    kh1a = taps(rows[:, :, :, :c, :].reshape(2, 2, c4, c4))
-    kh1b = taps(rows[:, :, :, c:, :].reshape(2, 2, c4, c4))
+    # head convs (ConvBlock_5 consumes the [d2, f0] concat)
+    kh1a, kh1b, th1 = _fold_head1_split(p, bs, "ConvBlock_5", c, c4)
     kh2_raw, th2 = _fold_convblock(p, bs, "ConvBlock_6")
     kh2s = s2d_conv_kernel(kh2_raw)                          # (2,2, c4, 2c)
-    kh2 = taps(jnp.pad(kh2s, ((0, 0), (0, 0), (0, 0), (0, 256 - 2 * c))))
+    kh2 = _taps(jnp.pad(kh2s, ((0, 0), (0, 0), (0, 0), (0, 256 - 2 * c))))
     kout_raw = p["Conv_1"]["kernel"]
     tout = p["Conv_1"]["bias"]
     kouts = s2d_conv_kernel(kout_raw)                        # (2,2, 2c, 12)
-    kout = taps(jnp.pad(kouts, ((0, 0), (0, 0), (0, 256 - 2 * c),
-                                (0, 128 - 12))))
+    kout = _taps(jnp.pad(kouts, ((0, 0), (0, 0), (0, 256 - 2 * c),
+                                 (0, 128 - 12))))
 
     # guidance head (3 -> 16 -> 16 -> 1 per phase)
     kg1_raw, tg1 = _fold_convblock(p, bs, "ConvBlock_0")
     kg1s = s2d_conv_kernel(kg1_raw)                          # (2,2, 12, 64)
-    kg1 = taps(jnp.pad(kg1s, ((0, 0), (0, 0), (0, 128 - 12), (0, 64))))
+    kg1 = _taps(jnp.pad(kg1s, ((0, 0), (0, 0), (0, 128 - 12), (0, 64))))
     kg2_raw, tg2 = _fold_convblock(p, bs, "ConvBlock_1")
     kg2s = s2d_conv_kernel(kg2_raw)                          # (2,2, 64, 64)
-    kg2 = taps(jnp.pad(kg2s, ((0, 0), (0, 0), (0, 64), (0, 64))))
+    kg2 = _taps(jnp.pad(kg2s, ((0, 0), (0, 0), (0, 64), (0, 64))))
     # 1x1 guidance output conv, phase-expanded to the 12 blend lanes:
     # K[p*16 + ch, 3p + t] = w[ch] for t in 0..2
     kgo_s = s2d_conv_kernel(p["Conv_0"]["kernel"])           # (1, 1, 64, 4)
@@ -665,10 +641,7 @@ def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
 
     # shift table (9, c4) f32: [up, res_a, res_b, h1, h2(256-lane row,
     # stored padded), g1, g2, out, guidance]
-    def row(vec, width=c4):
-        v = jnp.asarray(vec, jnp.float32).reshape(-1)
-        return jnp.pad(v, (0, width - v.shape[0]))
-
+    row = functools.partial(_shift_row, width=c4)
     shifts = jnp.stack([
         row(tup if tup.shape[0] == c4 else jnp.tile(tup, 4)),
         row(tr[0]), row(tr[1]),
