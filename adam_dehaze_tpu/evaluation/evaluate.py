@@ -228,7 +228,13 @@ def evaluate_hard_routing(config, router=None, state=None) -> Dict[str, Any]:
             clear = clear_all[idx]
             logits = np.asarray(engine._logits(hazy))
             pred = logits.argmax(axis=1)
-            serve_labels = engine.plan_capacity_spill(pred, logits)
+            # Plan capacity on REAL rows only: loader pad rows duplicate an
+            # image and would otherwise consume class capacity, forcing
+            # phantom spills of real images in the final short batch. Pads
+            # keep their raw prediction (outputs masked out below).
+            serve_labels = pred.copy()
+            serve_labels[mask] = engine.plan_capacity_spill(
+                pred[mask], logits[mask])
             out_sp = engine._dispatch(hazy, serve_labels)
             accs[spill_key].add_batch(np.asarray(out_sp)[mask],
                                       clear[mask], "overall")

@@ -153,6 +153,19 @@ def create_router(models: Dict[str, nn.Module], classifier, config) -> nn.Module
 # Function-level adaptive inference engine (serving path).
 # ---------------------------------------------------------------------------
 
+def bucket_for(n: int, buckets, extend: bool = False) -> int:
+    """Smallest bucket >= n from a sorted ladder — THE bucket rule, shared
+    by every shape-robust serving path. Beyond the largest bucket:
+    extend=False saturates at buckets[-1] (callers chunk, e.g.
+    BinnedAdaptiveEngine._dispatch); extend=True rounds up to a multiple of
+    it (whole-batch padding, e.g. route_device_binned_stream)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    m = buckets[-1]
+    return -(-n // m) * m if extend else m
+
+
 class BinnedAdaptiveEngine:
     """Host-binned hard routing: the adaptive-FLOPs serving engine.
 
@@ -189,10 +202,7 @@ class BinnedAdaptiveEngine:
         self._logits = jax.jit(lambda x: classifier_apply(x)[0])
 
     def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if b >= n:
-                return b
-        return self.buckets[-1]
+        return bucket_for(n, self.buckets)
 
     def plan_capacity_spill(self, intensity, logits=None):
         """Capacity-constrained routing plan (MoE capacity-factor style).
@@ -230,7 +240,7 @@ class BinnedAdaptiveEngine:
         for c in range(k):
             if free[c] >= 0:
                 continue
-            pool = [i for i in np.nonzero(intensity == c)[0]]
+            pool = list(np.nonzero(intensity == c)[0])
             targets = list(range(c + 1, k)) + list(range(c - 1, -1, -1))
             for t in targets:
                 overflow = -free[c]
@@ -241,9 +251,7 @@ class BinnedAdaptiveEngine:
                     lg = np.asarray(logits)
                     # closest to the target class first
                     pool.sort(key=lambda i: lg[i, t] - lg[i, c])
-                    chosen, pool = pool[-m:], pool[:-m]
-                else:
-                    chosen, pool = pool[-m:], pool[:-m]
+                chosen, pool = pool[-m:], pool[:-m]
                 labels_eff[np.asarray(chosen, np.int64)] = t
                 free[t] -= m
                 free[c] += m
@@ -287,6 +295,11 @@ class BinnedAdaptiveEngine:
                     else self._classify(x))
             intensity = np.asarray(pred)
         else:
+            # Keep the docstring's promise: the classifier program is
+            # still ENQUEUED (async, result unused) so oracle/trained-label
+            # rows pay the same serving cost as predicted routing — r2/r3
+            # bench rows stay comparable.
+            self._classify(x)
             intensity = np.asarray(intensity)
         serve_labels = (self.plan_capacity_spill(intensity, logits)
                         if spill else intensity)

@@ -279,6 +279,12 @@ def make_res_attn_chain(layer_specs: Sequence[Tuple[str, dict, dict]],
 
     if not conv_taps:
         raise ValueError("chain needs at least one res block")
+    if layers[0] == "attn":
+        # The in-kernel channel max reads the zero ring, which is exact
+        # only for non-negative inputs — guaranteed after a ReLU-terminated
+        # res block, not for the segment's raw input.
+        raise ValueError("chain segments must start with a res block: the "
+                         "attn channel-max assumes post-ReLU (>=0) input")
     kconv = jnp.stack(conv_taps).astype(dtype)
     shifts = jnp.stack(conv_shifts).astype(jnp.float32)
     if k0s:

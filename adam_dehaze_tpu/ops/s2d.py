@@ -798,9 +798,11 @@ def make_serving_apply(model, variables, dtype=jnp.bfloat16):
         # and the c=64 full-res lane padding costs less than either
         # rewrite's overhead. NOTE: an earlier probe compared against a
         # model built at its f32 default and wrongly flipped this to the
-        # chain — always compare at the serving dtype. Canonical assumes
-        # `model.dtype` is the serving dtype (true for config-built models).
-        return lambda x: model.apply(variables, x, train=False)
+        # chain — always compare at the serving dtype. The module is
+        # re-cloned at the requested serving dtype so a model left at its
+        # f32 default still serves at `dtype` like the other branches.
+        m = model if model.dtype == dtype else model.clone(dtype=dtype)
+        return lambda x: m.apply(variables, x, train=False)
     if isinstance(model, HighIntensityDehazeModel):
         return make_high_s2d_apply(model, variables, dtype=dtype)
     return lambda x: model.apply(variables, x, train=False)

@@ -169,15 +169,14 @@ class AdaptiveDehazer:
     # Batch-size buckets for shape-robust streaming: ragged traffic is padded
     # up to the nearest bucket so every dispatch reuses a precompiled program
     # (route_device_binned_stream retraced per input shape before; round-2
-    # verdict item #5). Same ladder as BinnedAdaptiveEngine's default.
+    # verdict item #5). The bucket rule itself lives in
+    # models/routing.py:bucket_for (extend=True: whole batches beyond the
+    # largest bucket pad to multiples of it rather than chunking).
     STREAM_BUCKETS = (1, 2, 4, 8, 16, 32, 48, 64)
 
     def _bucket_batch(self, n: int, buckets) -> int:
-        for b in buckets:
-            if b >= n:
-                return b
-        m = buckets[-1]
-        return -(-n // m) * m  # multiples of the largest bucket beyond it
+        from adam_dehaze_tpu.models.routing import bucket_for
+        return bucket_for(n, buckets, extend=True)
 
     def route_device_binned_stream(self, batches, chunk: int = 16,
                                    depth: int = 2, buckets=None,

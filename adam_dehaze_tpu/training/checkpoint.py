@@ -79,6 +79,13 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
                 raise ValueError(
                     f"checkpoint {path} missing keys vs target: {missing[:5]}"
                     f"{'...' if len(missing) > 5 else ''}")
+            extra = sorted(set(got_paths) - set(tgt_paths))
+            if extra:
+                # tree_map below would die on the structure mismatch with an
+                # opaque error; fail with the checkpoint-vs-target diff.
+                raise ValueError(
+                    f"checkpoint {path} has extra keys vs target: {extra[:5]}"
+                    f"{'...' if len(extra) > 5 else ''}")
             for kstr, tleaf in tgt_paths.items():
                 got = got_paths[kstr]
                 tshape = getattr(tleaf, "shape", None)

@@ -336,8 +336,13 @@ def main():
                 result["predicted_routing_trained_ms_per_image"] = round(
                     ms_tr, 4)
                 result["trained_routing_acc"] = round(acc, 4)
+                # ms_tr is host-binned: subtract the HOST engine's oracle
+                # number even when the device engine took result["value"],
+                # so the field isolates routing-skew cost, not engine choice.
+                oracle_host = result.get("host_binned_ms_per_image",
+                                         result["value"])
                 result["predicted_trained_minus_oracle_ms"] = round(
-                    ms_tr - result["value"], 4)
+                    ms_tr - oracle_host, 4)
                 # Capacity-spill serving (models/routing.py:
                 # plan_capacity_spill): overflow images beyond a class's
                 # bucket capacity are served by a neighboring branch's free

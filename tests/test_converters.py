@@ -198,3 +198,23 @@ def test_load_checkpoint_cross_device_fallback(tmp_path, monkeypatch):
                                   state["params"]["w"])
     assert int(restored["step"]) == 7
     assert metrics["val"] == 1.0
+
+    # Targeted fallback restore validates against the target tree: missing,
+    # extra, and shape-mismatched leaves all fail with a legible error
+    # instead of an opaque tree_map structure crash.
+    ok, _ = ckpt.load_checkpoint(
+        path, {"params": {"w": np.zeros((2, 3), np.float32)},
+               "step": np.int32(0)})
+    np.testing.assert_array_equal(ok["params"]["w"], state["params"]["w"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing keys"):
+        ckpt.load_checkpoint(
+            path, {"params": {"w": np.zeros((2, 3), np.float32),
+                              "b": np.zeros(3, np.float32)},
+                   "step": np.int32(0)})
+    with _pytest.raises(ValueError, match="extra keys"):
+        ckpt.load_checkpoint(path, {"step": np.int32(0)})
+    with _pytest.raises(ValueError, match="shape"):
+        ckpt.load_checkpoint(
+            path, {"params": {"w": np.zeros((3, 2), np.float32)},
+                   "step": np.int32(0)})
