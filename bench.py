@@ -44,6 +44,41 @@ WARMUP = 5
 ITERS = 30
 SINGLE_CALLS = 20
 
+# Optional rows each pay remote compiles (~minutes on axon). Once the
+# budget is spent, remaining OPTIONAL rows are skipped so the one JSON
+# line always prints well inside any outer `timeout` (the primary metric
+# is measured first and never skipped). BENCH_BUDGET_S=0 disables.
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600") or 0)
+
+
+def _budget_ok(label: str) -> bool:
+    if _BUDGET_S and time.perf_counter() - _T0 > _BUDGET_S:
+        print(f"bench budget ({_BUDGET_S:.0f}s) exceeded; skipping {label}",
+              file=sys.stderr)
+        return False
+    return True
+
+
+def _install_emergency_dump(result):
+    """If an outer timeout SIGTERMs the run after the primary metric was
+    measured, emit the partial JSON line instead of losing the round."""
+    import signal
+
+    def handler(signum, frame):
+        if "value" in result:
+            result["partial"] = True
+            if "vs_baseline" not in result:
+                result["vs_baseline"] = round(
+                    BASELINE_MS_PER_IMAGE / result["value"], 2)
+            print(json.dumps(result), flush=True)
+        sys.exit(1)
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env
+
 # bf16 peak by device kind; conservative default.
 _PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v6e": 918.0,
                 "v5p": 459.0}
@@ -218,6 +253,7 @@ def main():
     skewed = np.full(BATCH, 2)  # all-high: worst-case adaptive FLOPs
 
     result = {"unit": "ms/image"}
+    _install_emergency_dump(result)
     if dispatch_used:
         result["autotuned_dispatch"] = dispatch_used
     try:
@@ -232,6 +268,8 @@ def main():
         # adaptive accounting as the host engine; if faster it becomes the
         # primary value (mode field records which engine produced it).
         try:
+            if not _budget_ok("device_binned"):
+                raise RuntimeError("budget")
             dev_fn = jax.jit(make_device_binned_infer(
                 clf_serving, serving_applies, chunk=bucket))
             balanced_dev = jnp.asarray(balanced)
@@ -250,19 +288,20 @@ def main():
         # Steady-state stream throughput: run_stream overlaps batch k+1's
         # classifier with batch k's label fetch + dispatch, so this is the
         # serving-relevant imgs/sec (latency-per-batch is the primary).
-        n_stream = 12
-        for _ in engine.run_stream([x] * 2, intensities=[balanced] * 2):
-            pass  # warm
-        t0 = time.perf_counter()
-        last = None
-        for out, _lab in engine.run_stream([x] * n_stream,
-                                           intensities=[balanced] * n_stream):
-            last = out
-        _sync(last)
-        stream_per_img = (time.perf_counter() - t0) / (n_stream * BATCH)
-        result["stream_ms_per_image"] = round(stream_per_img * 1000.0, 4)
-        result["stream_imgs_per_sec_per_chip"] = round(
-            1.0 / stream_per_img, 1)
+        if _budget_ok("stream"):
+            n_stream = 12
+            for _ in engine.run_stream([x] * 2, intensities=[balanced] * 2):
+                pass  # warm
+            t0 = time.perf_counter()
+            last = None
+            for out, _lab in engine.run_stream(
+                    [x] * n_stream, intensities=[balanced] * n_stream):
+                last = out
+            _sync(last)
+            stream_per_img = (time.perf_counter() - t0) / (n_stream * BATCH)
+            result["stream_ms_per_image"] = round(stream_per_img * 1000.0, 4)
+            result["stream_imgs_per_sec_per_chip"] = round(
+                1.0 / stream_per_img, 1)
 
         # Device-binned async stream (the headline serving mode, round-2
         # verdict item #2): depth-2 pipeline of the single on-device binned
@@ -273,6 +312,8 @@ def main():
         try:
             if "device_binned_ms_per_image" not in result:
                 raise RuntimeError("device-binned engine unavailable")
+            if not _budget_ok("device_binned_stream"):
+                raise RuntimeError("budget")
             n_dev_stream = 12
             labels_dev = jnp.asarray(balanced)
             def _dev_stream(n_batches, depth):
@@ -308,16 +349,19 @@ def main():
                   file=sys.stderr)
 
         # Skewed (all-high) traffic: same compiled programs, no oracle balance.
-        per_iter_skew = _time(lambda: engine(x, intensity=skewed)[0],
-                              iters=max(ITERS // 3, 5))
-        result["skewed_all_high_ms_per_image"] = round(
-            per_iter_skew / BATCH * 1000.0, 4)
+        if _budget_ok("skewed"):
+            per_iter_skew = _time(lambda: engine(x, intensity=skewed)[0],
+                                  iters=max(ITERS // 3, 5))
+            result["skewed_all_high_ms_per_image"] = round(
+                per_iter_skew / BATCH * 1000.0, 4)
 
         # Non-oracle routing: classifier argmax decides the bins (random-
         # weight classifier => arbitrary skew incl. bucket padding waste).
-        per_iter_pred = _time(lambda: engine(x)[0], iters=max(ITERS // 3, 5))
-        result["predicted_routing_ms_per_image"] = round(
-            per_iter_pred / BATCH * 1000.0, 4)
+        if _budget_ok("predicted_routing"):
+            per_iter_pred = _time(lambda: engine(x)[0],
+                                  iters=max(ITERS // 3, 5))
+            result["predicted_routing_ms_per_image"] = round(
+                per_iter_pred / BATCH * 1000.0, 4)
 
         # TRAINED-classifier routing (round-2 verdict item #6): real test
         # images from the committed full-system experiment, binned by the
@@ -326,7 +370,8 @@ def main():
         # the trained labels — no second full-pipeline compile; only the
         # trained classifier itself compiles (small graph).
         try:
-            trained = _trained_routing_inputs(bucket)
+            trained = (_trained_routing_inputs(bucket)
+                       if _budget_ok("trained_routing") else None)
             if trained is not None:
                 x_real, labels_trained, acc = trained
                 per_iter_tr = _time(
@@ -411,6 +456,8 @@ def main():
         # in ONE jitted program chained onto the adaptive engine; the host
         # NMS over <= 300 candidates is numpy microseconds and excluded.
         try:
+            if not _budget_ok("detection_pipeline"):
+                raise RuntimeError("budget")
             from adam_dehaze_tpu.models.detection import (
                 IMAGENET_MEAN,
                 IMAGENET_STD,
@@ -468,6 +515,8 @@ def main():
         # already-jitted fn reuses its cached bf16 executable and silently
         # measures the wrong thing.
         try:
+            if not _budget_ok("int8"):
+                raise RuntimeError("budget")
             from adam_dehaze_tpu.ops.quant import quantize_apply
             engine_q = BinnedAdaptiveEngine(
                 classifier_apply,
@@ -489,21 +538,23 @@ def main():
                   file=sys.stderr)
 
         # Single-image serving latency through lax.switch (one branch/image).
-        switch_fn = jax.jit(make_adaptive_infer(
-            clf_serving, serving_applies, mode="switch"))
-        x1 = x[:1]
-        _sync(switch_fn(x1))
-        lat = []
-        for _ in range(SINGLE_CALLS):
+        if _budget_ok("single_image"):
+            switch_fn = jax.jit(make_adaptive_infer(
+                clf_serving, serving_applies, mode="switch"))
+            x1 = x[:1]
+            _sync(switch_fn(x1))
+            lat = []
+            for _ in range(SINGLE_CALLS):
+                t0 = time.perf_counter()
+                _sync(switch_fn(x1))  # blocking = result actually fetched
+                lat.append((time.perf_counter() - t0) * 1000.0)
+            result["single_image_p50_ms"] = round(
+                float(np.percentile(lat, 50)), 3)
             t0 = time.perf_counter()
-            _sync(switch_fn(x1))  # blocking = result actually fetched
-            lat.append((time.perf_counter() - t0) * 1000.0)
-        result["single_image_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
-        t0 = time.perf_counter()
-        outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
-        _sync(outs[-1])
-        result["single_image_streamed_ms"] = round(
-            (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
+            outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
+            _sync(outs[-1])
+            result["single_image_streamed_ms"] = round(
+                (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
     except Exception as e:  # never lose the benchmark round entirely
         print(f"binned engine failed ({type(e).__name__}: {e}); "
               "reporting the soft blend under its own metric name",
@@ -534,6 +585,7 @@ def main():
     result["best_serving_ms_per_image"] = round(best_ms, 4)
     result["imgs_per_sec_per_chip"] = round(1000.0 / best_ms, 1)
     result["vs_baseline"] = round(BASELINE_MS_PER_IMAGE / result["value"], 2)
+    result["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps(result))
 
 
