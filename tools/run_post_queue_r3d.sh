@@ -23,4 +23,11 @@ timeout 3600 python main.py --mode demo --config $CFG --experiment_dir $EXP \
 for f in "$EXP"/demo/*.png; do
     [ -e "$f" ] && cp "$f" benchmarks/round_results/
 done
+
+# Committed evidence the gitignored dirs would otherwise swallow: the
+# serving-autotune A/B tables (dispatch decisions) and the queue's BENCH line.
+[ -e "$EXP/serving_autotune.json" ] && \
+    cp "$EXP/serving_autotune.json" benchmarks/round_results/serving_autotune_r3.json
+grep -h '"metric"' logs/bench_r3d.log > benchmarks/round_results/bench_line_r3d.json \
+    2>/dev/null || true
 echo "POST_QUEUE_DONE"
