@@ -339,7 +339,8 @@ class BinnedAdaptiveEngine:
 
 
     def run_queued(self, batches, queue_bucket: Optional[int] = None,
-                   flush: bool = True, intensities=None):
+                   flush: bool = True, intensities=None,
+                   max_wait_batches: Optional[int] = None):
         """Cross-batch per-class queueing (continuous batching) for
         class-clumped traffic.
 
@@ -368,31 +369,56 @@ class BinnedAdaptiveEngine:
         per-batch label arrays (mirrors run_stream): the classifier still
         runs for cost realism, but queue composition follows the given
         labels — e.g. bench.py's trained-traffic row.
+
+        `max_wait_batches=W` bounds MID-STREAM queueing latency: an image
+        dispatches after at most W further batch enqueues even if its
+        class bucket never fills (a rare class on majority traffic would
+        otherwise wait for the end-of-stream flush). Stale remainders pay
+        one padded ladder program — the same price flush pays — so the
+        knob trades pad waste for a hard latency bound.
         """
         import numpy as np
         q = queue_bucket or self.buckets[-1]
         k = len(self.branch_applies)
-        queues = [[] for _ in range(k)]   # per class: (x_dev, local, base)
+        # per class: (x_dev, local, base, seq) — seq is the enqueue tick,
+        # monotone per _enqueue call, so queues[cls][0][3] is the class's
+        # oldest tick (entries keep their tick when partially consumed;
+        # ages only shrink, so the staleness test stays conservative).
+        queues = [[] for _ in range(k)]
         counts = [0] * k
+        seq = 0
 
         def _compose(cls, take):
             """Pop `take` images off class cls's queue; returns
             (device batch, global indices)."""
             parts, gidx, got = [], [], 0
             while got < take:
-                x_dev, local, base = queues[cls][0]
+                x_dev, local, base, tick = queues[cls][0]
                 need = take - got
                 use, rest = local[:need], local[need:]
                 parts.append(x_dev[jnp.asarray(use)])
                 gidx.append(base + use)
                 got += use.size
                 if rest.size:
-                    queues[cls][0] = (x_dev, rest, base)
+                    queues[cls][0] = (x_dev, rest, base, tick)
                 else:
                     queues[cls].pop(0)
             counts[cls] -= take
             xq = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             return xq, np.concatenate(gidx)
+
+        def _serve_padded(cls):
+            """One remainder dispatch through the padded bucket ladder,
+            whose largest program is buckets[-1] — chunk there even when
+            queue_bucket is larger (matches _dispatch)."""
+            take = min(counts[cls], q, self.buckets[-1])
+            xq, gidx = _compose(cls, take)
+            b = self._bucket(take)
+            if b != take:
+                pad = jnp.broadcast_to(xq[-1:], (b - take,) + xq.shape[1:])
+                xq = jnp.concatenate([xq, pad])
+            out = np.asarray(self.branch_applies[cls](xq))[:take]
+            return (out, gidx, cls)
 
         def _drain_full(cls):
             while counts[cls] >= q:
@@ -400,11 +426,22 @@ class BinnedAdaptiveEngine:
                 yield (np.asarray(self.branch_applies[cls](xq)), gidx, cls)
 
         def _enqueue(x_dev, labels, base):
+            nonlocal seq
+            seq += 1
             for cls in range(k):
                 local = np.nonzero(labels == cls)[0]
                 if local.size:
-                    queues[cls].append((x_dev, local, base))
+                    queues[cls].append((x_dev, local, base, seq))
                     counts[cls] += local.size
+
+        def _drain(final: bool):
+            for cls in range(k):
+                yield from _drain_full(cls)
+            if max_wait_batches is not None and not final:
+                for cls in range(k):
+                    while queues[cls] and (
+                            seq - queues[cls][0][3] >= max_wait_batches):
+                        yield _serve_padded(cls)
 
         base = 0
         pending = None  # (x_dev, pred_dev, given_intensity, base)
@@ -418,8 +455,7 @@ class BinnedAdaptiveEngine:
                 labels = (np.asarray(pgiven) if pgiven is not None
                           else np.asarray(ppred))
                 _enqueue(px, labels, pbase)
-                for cls in range(k):
-                    yield from _drain_full(cls)
+                yield from _drain(final=False)
             pending = (x, pred, given, base)
             base += int(x.shape[0])
         if pending is not None:
@@ -427,24 +463,12 @@ class BinnedAdaptiveEngine:
             labels = (np.asarray(pgiven) if pgiven is not None
                       else np.asarray(ppred))
             _enqueue(px, labels, pbase)
-            for cls in range(k):
-                yield from _drain_full(cls)
+            yield from _drain(final=flush)
 
         if flush:
             for cls in range(k):
                 while counts[cls] > 0:
-                    # Remainders go through the padded bucket ladder, whose
-                    # largest program is buckets[-1] — chunk there even when
-                    # queue_bucket is larger (matches _dispatch).
-                    take = min(counts[cls], q, self.buckets[-1])
-                    xq, gidx = _compose(cls, take)
-                    b = self._bucket(take)
-                    if b != take:
-                        pad = jnp.broadcast_to(xq[-1:],
-                                               (b - take,) + xq.shape[1:])
-                        xq = jnp.concatenate([xq, pad])
-                    out = np.asarray(self.branch_applies[cls](xq))[:take]
-                    yield (out, gidx, cls)
+                    yield _serve_padded(cls)
 
 
 def _spill_choice_table(n_cls: int):

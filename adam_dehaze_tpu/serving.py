@@ -134,20 +134,25 @@ class AdaptiveDehazer:
             yield np.asarray(out), np.asarray(intensity)
 
     def route_hard_queued(self, batches, queue_bucket: int = 16,
-                          flush: bool = True):
+                          flush: bool = True,
+                          max_wait_batches: Optional[int] = None):
         """Continuous batching for class-clumped traffic: images queue per
         PREDICTED class across batch boundaries and a branch runs only on
         full same-class buckets — fidelity quality at balanced-traffic
         cost, paying bounded queueing latency (models/routing.py:
         run_queued; see evaluate_hard_routing's ordered-vs-steady rows for
         why neither fidelity nor spill is the right mode for ordered
-        traffic). Yields (dehazed, global_indices, cls) per bucket."""
+        traffic). `max_wait_batches` hard-bounds that latency: a queued
+        image dispatches (through one padded ladder program) after at most
+        that many further batch arrivals even if its class bucket never
+        fills. Yields (dehazed, global_indices, cls) per bucket."""
         if "binned" not in self._engines:
             from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
             self._engines["binned"] = BinnedAdaptiveEngine(
                 self._classifier_apply(), self._branch_applies())
         yield from self._engines["binned"].run_queued(
-            batches, queue_bucket=queue_bucket, flush=flush)
+            batches, queue_bucket=queue_bucket, flush=flush,
+            max_wait_batches=max_wait_batches)
 
     def route_device_binned(self, images, chunk: int = 16,
                             spill: bool = False

@@ -313,6 +313,67 @@ def test_run_queued_intensities_override(key):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_run_queued_max_wait_bounds_latency(key):
+    """A rare class trickling 1 image/batch on majority traffic never fills
+    its bucket; max_wait_batches=2 forces a padded dispatch within 2 further
+    enqueues instead of waiting for the end-of-stream flush."""
+    classifier, applies, _ = _setup(key)
+
+    def one_high_rest_low(img):
+        n = img.shape[0]
+        logits = jnp.tile(jnp.array([[10.0, 0.0, 0.0]]), (n, 1))
+        return logits.at[0].set(jnp.array([0.0, 0.0, 10.0])), None
+
+    engine = BinnedAdaptiveEngine(one_high_rest_low, applies,
+                                  buckets=(1, 2, 4))
+    rng = np.random.default_rng(3)
+    batches = [jnp.asarray(rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+               for _ in range(5)]
+    got = list(engine.run_queued(batches, queue_bucket=4,
+                                 max_wait_batches=2, flush=False))
+    # low fills a 4-bucket per pair of batches (3+3 -> one full + 2 carried);
+    # the high trickle (1/batch) must surface mid-stream via stale dispatch.
+    high_yields = [(g, cls) for _, g, cls in got if cls == 2]
+    assert high_yields, "stale high images never dispatched mid-stream"
+    # Every high image that aged >= max_wait ticks is served even though
+    # flush=False: batches 0..4 enqueue at ticks 1..5, stale-checking after
+    # each enqueue, so the tick-1..3 trickles (globals 0, 4, 8) dispatch
+    # mid-stream while the two youngest (globals 12, 16) are held.
+    served_high = np.concatenate([g for g, _ in high_yields])
+    assert set(served_high.tolist()) == {0, 4, 8}
+    # fidelity on everything served
+    xs = jnp.concatenate(batches)
+    for out, gidx, cls in got:
+        want = applies[cls](xs[jnp.asarray(gidx)])
+        np.testing.assert_allclose(out, np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+    # exactly-once over the served subset
+    all_idx = np.concatenate([g for _, g, _ in got])
+    assert all_idx.size == np.unique(all_idx).size
+
+
+def test_run_queued_max_wait_matches_fidelity_exactly_once(key):
+    """max_wait with flush: same per-image results as fidelity mode, every
+    index served exactly once (stale dispatch must not double-serve)."""
+    classifier, applies, _ = _setup(key)
+    engine = BinnedAdaptiveEngine(classifier, applies, buckets=(1, 2, 4, 8))
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    batches = [jax.random.uniform(kk, (5, 16, 16, 3))
+               for kk in (k1, k2, k3, k4)]
+    xs = jnp.concatenate(batches)
+    labels = np.asarray(engine._classify(xs))
+    got = list(engine.run_queued(batches, queue_bucket=8,
+                                 max_wait_batches=1))
+    all_idx = np.concatenate([g for _, g, _ in got])
+    np.testing.assert_array_equal(np.sort(all_idx), np.arange(20))
+    y = np.zeros((20, 16, 16, 3), np.float32)
+    for out, gidx, cls in got:
+        assert (labels[gidx] == cls).all()
+        y[gidx] = out
+    want, _ = engine(xs, intensity=labels)
+    np.testing.assert_allclose(y, np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
 def test_engines_serve_every_image_exactly_once_randomized(key):
     """Invariant sweep across traffic patterns: every engine mode serves
     each image exactly once with finite outputs and in-range labels."""
