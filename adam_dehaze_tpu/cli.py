@@ -14,6 +14,9 @@ Divergences (documented):
 - `demo` is implemented (the reference's demo is a TODO stub,
   main.py:210-215); it loads the pipeline, dehazes the test split (or
   --data_dir), and writes comparison grids.
+- `serve` (new surface): batch inference over a directory of images
+  through any serving engine (soft/hard/spill/stream/queued/device) with
+  a routing manifest — the reference has no inference CLI.
 """
 from __future__ import annotations
 
@@ -30,7 +33,9 @@ from adam_dehaze_tpu.config import (
 from adam_dehaze_tpu.utils.helpers import seed_everything
 
 MODES = ("preprocess", "train_classifier", "train_dehazing", "train_joint",
-         "train_all", "train_detection", "evaluate", "demo", "bench")
+         "train_all", "train_detection", "evaluate", "demo", "serve", "bench")
+
+SERVE_MODES = ("soft", "hard", "spill", "stream", "queued", "device")
 
 
 def parse_args(argv=None):
@@ -48,6 +53,17 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--experiment_dir", type=str, default=None,
                    help="Existing experiment to evaluate / resume")
+    p.add_argument("--serve_mode", type=str, default="hard",
+                   choices=SERVE_MODES,
+                   help="serve: which serving engine dehazes the inputs "
+                        "(serving.py AdaptiveDehazer modes)")
+    p.add_argument("--queue_bucket", type=int, default=16,
+                   help="serve --serve_mode queued: same-class bucket size")
+    p.add_argument("--max_wait_batches", type=int, default=None,
+                   help="serve --serve_mode queued: hard latency bound "
+                        "(batches) before a partial bucket dispatches")
+    p.add_argument("--out", type=str, default=None,
+                   help="serve: output dir (default <experiment>/served)")
     return p.parse_args(argv)
 
 
@@ -168,6 +184,9 @@ def main(argv=None):
     elif args.mode == "demo":
         run_demo(config, exp_dir)
 
+    elif args.mode == "serve":
+        run_serve(config, exp_dir, args)
+
     elif args.mode == "bench":
         import subprocess
         import sys
@@ -213,6 +232,103 @@ def run_demo(config, exp_dir: str, max_batches: int = 2):
                 np.asarray(weights[:k]),
                 os.path.join(demo_dir, f"demo_weights{bi}.png"))
     print(f"Demo completed. Results saved to: {demo_dir}")
+
+
+def run_serve(config, exp_dir: str, args):
+    """Batch-serve a directory of hazy images through a chosen serving
+    engine and write dehazed PNGs + a routing manifest.
+
+    User-facing surface over serving.py's engine API (the reference stops
+    at a TODO demo stub, main.py:210-215 — it has no inference CLI at all):
+
+      python main.py --mode serve --experiment_dir experiments/X \\
+          [--data_dir DIR] [--serve_mode hard|spill|stream|queued|device|soft]
+          [--queue_bucket N] [--max_wait_batches W] [--out DIR]
+
+    Inputs: every .png/.jpg under --data_dir (recursive), else the config
+    test split's hazy images. Outputs: <out>/<basename> dehazed +
+    <out>/routing.json {filename: {intensity, branch}} for hard modes.
+    """
+    import glob
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adam_dehaze_tpu.data.dataset import _imread_rgb
+    from adam_dehaze_tpu.data.preprocessing import _write_rgb
+    from adam_dehaze_tpu.evaluation.evaluate import _load_joint
+    from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+    from adam_dehaze_tpu.serving import AdaptiveDehazer
+
+    if args.data_dir:
+        files = sorted(
+            f for ext in ("png", "jpg", "jpeg")
+            for f in glob.glob(os.path.join(args.data_dir, "**", f"*.{ext}"),
+                               recursive=True))
+    else:
+        files = sorted(glob.glob(os.path.join(
+            config["dataset"]["test_path"], "test", "*", "hazy", "*.png")))
+    if not files:
+        raise SystemExit("serve: no input images found (give --data_dir or "
+                         "point dataset.test_path at a corpus)")
+
+    img_size = config["dataset"]["img_size"]
+    batch = config["dataset"]["batch_size"]
+    out_dir = args.out or os.path.join(exp_dir, "served")
+    os.makedirs(out_dir, exist_ok=True)
+
+    router, state = _load_joint(config)
+    dehazer = AdaptiveDehazer(router, state, config)
+
+    def batches():
+        for i in range(0, len(files), batch):
+            yield jnp.asarray(np.stack(
+                [_imread_rgb(f, img_size) for f in files[i:i + batch]]))
+
+    mode = args.serve_mode
+    results = {}  # global index -> (dehazed HWC float, intensity or None)
+    if mode == "queued":
+        for out, gidx, cls in dehazer.route_hard_queued(
+                batches(), queue_bucket=args.queue_bucket,
+                max_wait_batches=args.max_wait_batches):
+            for row, g in zip(out, gidx):
+                results[int(g)] = (row, cls)
+    elif mode == "stream":
+        base = 0
+        for out, intensity in dehazer.route_hard_stream(batches()):
+            for j, row in enumerate(out):
+                results[base + j] = (row, int(intensity[j]))
+            base += out.shape[0]
+    else:
+        base = 0
+        for x in batches():
+            if mode == "soft":
+                out, intensity = dehazer(x), None
+            elif mode == "device":
+                out, intensity = dehazer.route_device_binned(x)
+            else:  # hard / spill
+                out, intensity = dehazer.route_hard(x, spill=(mode == "spill"))
+            for j in range(out.shape[0]):
+                results[base + j] = (
+                    out[j], None if intensity is None else int(intensity[j]))
+            base += out.shape[0]
+
+    manifest = {}
+    for g, (img, intensity) in sorted(results.items()):
+        name = os.path.basename(files[g])
+        _write_rgb(os.path.join(out_dir, name), np.asarray(img, np.float32))
+        if intensity is not None:
+            manifest[name] = {"intensity": intensity,
+                              "branch": INTENSITY_ORDER[intensity]}
+    with open(os.path.join(out_dir, "routing.json"), "w") as f:
+        json.dump({"serve_mode": mode, "images": manifest}, f, indent=2)
+
+    hist = {}
+    for v in manifest.values():
+        hist[v["branch"]] = hist.get(v["branch"], 0) + 1
+    print(f"Served {len(results)} images via '{mode}' -> {out_dir} "
+          f"(routing: {hist if hist else 'soft blend'})")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,109 @@
+"""CLI `serve` mode: directory-in -> dehazed PNGs + routing manifest out,
+through each serving engine (cli.py:run_serve — a user-facing inference
+surface the reference never had; its demo is a TODO stub, main.py:210-215).
+"""
+import json
+import os
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adam_dehaze_tpu.config import default_config
+from adam_dehaze_tpu.data.preprocessing import _write_rgb
+
+
+def _tiny_config():
+    config = default_config()
+    config["tpu"]["compute_dtype"] = "float32"
+    config["dataset"]["img_size"] = 32
+    config["dataset"]["batch_size"] = 4
+    for lvl, ch in (("low", 4), ("medium", 4), ("high", 8)):
+        config["dehazing"][lvl]["channels"] = ch
+        config["dehazing"][lvl]["blocks"] = 1
+    config["classifier"]["model"] = "resnet18"
+    return config
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    from adam_dehaze_tpu.models.branches import create_branch_models
+    from adam_dehaze_tpu.models.classifier import create_classifier
+    from adam_dehaze_tpu.models.routing import create_router
+    from adam_dehaze_tpu.training.state import TrainState
+
+    config = _tiny_config()
+    router = create_router(create_branch_models(config),
+                           create_classifier(config), config)
+    x0 = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = router.init({"params": jax.random.PRNGKey(0),
+                             "dropout": jax.random.PRNGKey(0)}, x0)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"], opt_state=None)
+    return config, router, state
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "inputs"
+    for i in range(6):
+        _write_rgb(str(d / f"img_{i:02d}.png"),
+                   rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    return str(d)
+
+
+@pytest.mark.parametrize("serve_mode", ["hard", "queued", "soft"])
+def test_run_serve_modes(tiny_pipeline, image_dir, tmp_path, monkeypatch,
+                         serve_mode):
+    from adam_dehaze_tpu import cli
+    from adam_dehaze_tpu.evaluation import evaluate as eval_mod
+
+    config, router, state = tiny_pipeline
+    monkeypatch.setattr(eval_mod, "_load_joint",
+                        lambda cfg: (router, state))
+    out_dir = str(tmp_path / f"served_{serve_mode}")
+    args = SimpleNamespace(data_dir=image_dir, serve_mode=serve_mode,
+                           queue_bucket=4, max_wait_batches=1, out=out_dir)
+    cli.run_serve(config, str(tmp_path), args)
+
+    served = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
+    assert served == [f"img_{i:02d}.png" for i in range(6)]
+    with open(os.path.join(out_dir, "routing.json")) as f:
+        manifest = json.load(f)
+    assert manifest["serve_mode"] == serve_mode
+    if serve_mode == "soft":
+        assert manifest["images"] == {}
+    else:
+        assert set(manifest["images"]) == set(served)
+        for v in manifest["images"].values():
+            assert v["branch"] in ("low", "medium", "high")
+            assert 0 <= v["intensity"] <= 2
+
+
+def test_serve_mode_in_cli_choices():
+    from adam_dehaze_tpu import cli
+
+    assert "serve" in cli.MODES
+    args = cli.parse_args(["--mode", "serve", "--serve_mode", "queued",
+                           "--queue_bucket", "8", "--max_wait_batches", "2"])
+    assert (args.mode, args.serve_mode, args.queue_bucket,
+            args.max_wait_batches) == ("serve", "queued", 8, 2)
+
+
+def test_run_serve_no_inputs_errors(tiny_pipeline, tmp_path, monkeypatch):
+    from adam_dehaze_tpu import cli
+    from adam_dehaze_tpu.evaluation import evaluate as eval_mod
+
+    config, router, state = tiny_pipeline
+    monkeypatch.setattr(eval_mod, "_load_joint",
+                        lambda cfg: (router, state))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    args = SimpleNamespace(data_dir=str(empty), serve_mode="hard",
+                           queue_bucket=4, max_wait_batches=None, out=None)
+    with pytest.raises(SystemExit):
+        cli.run_serve(config, str(tmp_path), args)
