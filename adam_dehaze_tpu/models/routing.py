@@ -361,9 +361,14 @@ class BinnedAdaptiveEngine:
         gathers from the already-uploaded device arrays — images are
         never re-uploaded or fetched back for composition.
 
-        Yields (dehazed np.ndarray, global_indices np.ndarray, cls int)
+        Yields (dehazed device array, global_indices np.ndarray, cls int)
         per dispatched bucket; `global_indices` index the concatenated
-        input stream so the caller can reassemble arrival order. With
+        input stream so the caller can reassemble arrival order. Outputs
+        stay ON DEVICE (like run_stream) so consecutive bucket dispatches
+        pipeline; callers that need host pixels convert with np.asarray.
+        (A per-bucket np.asarray here serialized every dispatch behind a
+        full-image tunnel fetch — measured 50 ms/image on axon vs ~2 for
+        the same programs with a scalar-fetch sync.) With
         flush=True (default), per-class remainders are served at the end
         through the padded bucket ladder. `intensities` optionally gives
         per-batch label arrays (mirrors run_stream): the classifier still
@@ -417,13 +422,13 @@ class BinnedAdaptiveEngine:
             if b != take:
                 pad = jnp.broadcast_to(xq[-1:], (b - take,) + xq.shape[1:])
                 xq = jnp.concatenate([xq, pad])
-            out = np.asarray(self.branch_applies[cls](xq))[:take]
+            out = self.branch_applies[cls](xq)[:take]
             return (out, gidx, cls)
 
         def _drain_full(cls):
             while counts[cls] >= q:
                 xq, gidx = _compose(cls, q)
-                yield (np.asarray(self.branch_applies[cls](xq)), gidx, cls)
+                yield (self.branch_applies[cls](xq), gidx, cls)
 
         def _enqueue(x_dev, labels, base):
             nonlocal seq
