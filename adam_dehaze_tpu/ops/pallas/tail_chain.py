@@ -104,7 +104,7 @@ def _regroup(acc, stride: int, m_out: int, g: int, pad_lo: int):
                                jnp.where(blk == 2, p10, p11)))
 
 
-def _kernel_helpers(sh_ref, valid, *, h2: int, stride: int, strip: int,
+def _kernel_helpers(sh_ref, *, h2: int, w2: int, stride: int, strip: int,
                     c4: int):
     """Shared in-kernel machinery for the tail kernels (high and medium
     use identical strip iteration, window loading and conv-layer passes;
@@ -121,10 +121,20 @@ def _kernel_helpers(sh_ref, valid, *, h2: int, stride: int, strip: int,
     - conv_pass(...): one conv layer over all strips; co_g = (co_lanes,
       group width); `extra` optionally adds a second (ref, tap_fn2,
       lanes) operand summed into the accumulator (the concat-free head
-      conv)."""
+      conv).
+    - mask_for(co): the valid-column boolean mask at exactly `co` lanes.
+      Built per width from iota rather than lane-slicing one c4-wide
+      mask: Mosaic bitpacks i1 vregs, so extract_strided_slice on a bool
+      at a non-{128, full} width asserts in the vector-layout pass
+      (limits > packed vreg dim) — the high kernel's head2 (co=256 of
+      c4=384) was the crashing case."""
     n_strips = h2 // strip
     m_out = strip * stride
     m_yb = m_out + stride
+
+    def mask_for(co):
+        colc = jax.lax.broadcasted_iota(jnp.int32, (m_out, co), 0) % stride
+        return jnp.logical_and(colc >= RING, colc < RING + w2)
 
     def strip_loop(body):
         def wrapped(s, carry):
@@ -147,7 +157,7 @@ def _kernel_helpers(sh_ref, valid, *, h2: int, stride: int, strip: int,
                   skip=False, pad_lo=1, t_rows=2, t_cols=2,
                   src_lanes=None, extra=None):
         co, g = co_g
-        vmask = valid[:, :co] if co <= c4 else None
+        vmask = mask_for(co) if co <= c4 else None
 
         def body(r0):
             img0 = r0 + RING * stride
@@ -169,7 +179,7 @@ def _kernel_helpers(sh_ref, valid, *, h2: int, stride: int, strip: int,
             dst_ref[pl.ds(img0, m_out), 0:co] = y.astype(dst_ref.dtype)
         strip_loop(body)
 
-    return strip_loop, load_wins, conv_pass
+    return strip_loop, load_wins, conv_pass, mask_for
 
 
 def _tail_kernel(d1_ref, f0_ref, x2_ref,
@@ -178,132 +188,163 @@ def _tail_kernel(d1_ref, f0_ref, x2_ref,
                  k0t_ref, k0m_ref, k1_ref, sh_ref,
                  out_ref, a_ref, b_ref, *,
                  h2: int, w2: int, stride: int, strip: int, c4: int,
-                 dtype):
+                 dtype, stages=None):
     """One image through the whole tail. a_ref/b_ref are (flat, c4)
     ping-pong buffers; the stats plane and guidance intermediates reuse
-    their dead lane ranges (see the pass comments)."""
+    their dead lane ranges (see the pass comments). `stages` (debug-only,
+    a tuple of stage names) compiles a subset of the pipeline — the
+    Mosaic-crash bisection hook used by tools/probe_tail_stages.py."""
+    on = (lambda s: stages is None or s in stages)
     c = c4 // 4
     m_out = strip * stride
     m_yb = m_out + stride
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 0) % stride
-    valid = jnp.logical_and(col >= RING, col < RING + w2)
-    strip_loop, load_wins, conv_pass = _kernel_helpers(
-        sh_ref, valid, h2=h2, stride=stride, strip=strip, c4=c4)
+    strip_loop, load_wins, conv_pass, mask_for = _kernel_helpers(
+        sh_ref, h2=h2, w2=w2, stride=stride, strip=strip, c4=c4)
 
     a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
     b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
 
-    # ---- 1. up4: d1 (plain, c4 lanes) -> d2 (s2d, 4 x c) into A ----
-    conv_pass(d1_ref, a_ref, lambda t: kup_ref[t], (c4, c), 0, relu=True)
-
-    # ---- 2. residual block: conv_a A->B relu; conv_b B->(+A) relu ----
-    conv_pass(a_ref, b_ref, lambda t: kres_ref[0, t], (c4, c), 1, relu=True)
-    conv_pass(b_ref, a_ref, lambda t: kres_ref[1, t], (c4, c), 2, relu=True,
-              skip=True)
-
-    # ---- 3. CBAM attention on A (s2d domain) ----
-    # 3a. channel gate. Ring zeros: the sum divides by the true count and
-    # the input is post-ReLU so max against 0 is exact (res_chain.py:139).
-    z_all = a_ref[...].astype(jnp.float32)
-    s_sum = jnp.sum(z_all, axis=0, keepdims=True)            # (1, c4)
-    m_all = jnp.max(z_all, axis=0, keepdims=True)
-    # phase fold of the mean is inside k0t (k0 tiled over phase blocks)
-    hid_a = jax.nn.relu(jnp.dot(s_sum / float(h2 * w2 * 4), k0t_ref[...],
-                                preferred_element_type=jnp.float32))
-    # per-channel max across the 4 phase blocks: tiny (1, c) slices
-    m96 = jnp.maximum(jnp.maximum(m_all[:, 0:c], m_all[:, c:2 * c]),
-                      jnp.maximum(m_all[:, 2 * c:3 * c], m_all[:, 3 * c:c4]))
-    m96p = jnp.pad(m96, ((0, 0), (0, 128 - c)))
-    hid_m = jax.nn.relu(jnp.dot(m96p, k0m_ref[...],
-                                preferred_element_type=jnp.float32))
-    pre = (jnp.dot(hid_a, k1_ref[...], preferred_element_type=jnp.float32)
-           + jnp.dot(hid_m, k1_ref[...], preferred_element_type=jnp.float32))
-    gate_c = jax.nn.sigmoid(pre[:, 0:c])                     # (1, c)
-    gc4 = jnp.concatenate([gate_c] * 4, axis=1)              # (1, c4)
-
-    # 3b. gated stats pass: A <- A * gc4; stats plane S -> B[:, 0:128]
-    # (B's conv_a content is dead). S layout: lane 2p = mean of phase p's
-    # channels, lane 2p+1 = max (ops/s2d.py:s2d_attention's stat-fast
-    # order). Ring rows of A are zero -> stats 0, reproducing the conv's
-    # zero padding exactly.
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (m_out, 128), 1)
     lane_c4 = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 1)
 
-    def gated_stats_body(r0):
-        img0 = r0 + RING * stride
-        z = a_ref[pl.ds(img0, m_out), :].astype(jnp.float32) * gc4
-        a_ref[pl.ds(img0, m_out), :] = z.astype(dtype)
-        stats = jnp.zeros((m_out, 128), jnp.float32)
-        for p in range(4):
-            blk_mask = jnp.logical_and(lane_c4 >= p * c,
-                                       lane_c4 < (p + 1) * c)
-            zp = jnp.where(blk_mask, z, 0.0)
-            mean_p = jnp.sum(zp, axis=1, keepdims=True) / float(c)
-            max_p = jnp.max(jnp.where(blk_mask, z, -jnp.inf), axis=1,
-                            keepdims=True)
-            max_p = jnp.maximum(max_p, 0.0)   # ring rows: all-masked -> 0
-            stats = stats + jnp.where(lane128 == 2 * p, mean_p, 0.0)
-            stats = stats + jnp.where(lane128 == 2 * p + 1, max_p, 0.0)
-        b_ref[pl.ds(img0, m_out), 0:128] = stats.astype(dtype)
-    strip_loop(gated_stats_body)
+    # ---- 1. up4: d1 (plain, c4 lanes) -> d2 (s2d, 4 x c) into A ----
+    if on("up"):
+        conv_pass(d1_ref, a_ref, lambda t: kup_ref[t], (c4, c), 0,
+                  relu=True)
 
-    # 3c. spatial 7x7 stencil as an s2d conv (4x4 taps, pad_lo 2) on the
-    # stats plane; gate lanes 0..3 map to phase blocks (0,0)(0,1)(1,0)(1,1).
-    def spatial_body(r0):
-        img0 = r0 + RING * stride
-        wins = load_wins(b_ref, img0, 2, 4, 128)
-        acc = _conv_taps(wins, lambda t: kst_ref[t], 128, m_yb, 4)
-        g4 = jax.nn.sigmoid(_regroup(acc, stride, m_out, 1, 2))
-        gsel = jnp.zeros((m_out, c4), jnp.float32)
+    # ---- 2. residual block: conv_a A->B relu; conv_b B->(+A) relu ----
+    if on("res"):
+        conv_pass(a_ref, b_ref, lambda t: kres_ref[0, t], (c4, c), 1,
+                  relu=True)
+        conv_pass(b_ref, a_ref, lambda t: kres_ref[1, t], (c4, c), 2,
+                  relu=True, skip=True)
+
+    # ---- 3. CBAM attention on A (s2d domain) ----
+    if on("attn_gate"):
+        # 3a. channel gate. Ring zeros: the sum divides by the true count and
+        # the input is post-ReLU so max against 0 is exact (res_chain.py:139).
+        z_all = a_ref[...].astype(jnp.float32)
+        s_sum = jnp.sum(z_all, axis=0, keepdims=True)            # (1, c4)
+        m_all = jnp.max(z_all, axis=0, keepdims=True)
+        # phase fold of the mean is inside k0t (k0 tiled over phase blocks)
+        hid_a = jax.nn.relu(jnp.dot(s_sum / float(h2 * w2 * 4), k0t_ref[...],
+                                    preferred_element_type=jnp.float32))
+        # Per-channel max across the 4 phase blocks. Lane slices at the 96-lane
+        # phase boundaries (m_all[:, c:2c] etc.) crash Mosaic's vector-layout
+        # pass on-chip (extract_strided_slice limit > vreg dim for misaligned
+        # multi-vreg lane offsets), so the cross-lane movement goes through
+        # 0/1 selection MATMULS instead: sel_p (c4, 128) extracts phase p's
+        # block into lanes 0:c, then the max runs on aligned (1, 128) arrays.
+        # Exact: entries are 0/1 and m_all >= 0 (post-ReLU buffer).
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (c4, 128), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (c4, 128), 1)
+        phase_max = []
         for p in range(4):
-            gp = g4[:, p:p + 1]
-            gsel = gsel + jnp.where(lane_c4 // c == p, gp, 0.0)
-        z = a_ref[pl.ds(img0, m_out), :].astype(jnp.float32) * gsel
-        a_ref[pl.ds(img0, m_out), :] = z.astype(dtype)
-    strip_loop(spatial_body)
+            sel = jnp.where(jnp.logical_and(row_i == col_j + p * c, col_j < c),
+                            1.0, 0.0)
+            phase_max.append(jnp.dot(m_all, sel,
+                                     preferred_element_type=jnp.float32))
+        m96p = jnp.maximum(jnp.maximum(phase_max[0], phase_max[1]),
+                           jnp.maximum(phase_max[2], phase_max[3]))
+        hid_m = jax.nn.relu(jnp.dot(m96p, k0m_ref[...],
+                                    preferred_element_type=jnp.float32))
+        pre = (jnp.dot(hid_a, k1_ref[...], preferred_element_type=jnp.float32)
+               + jnp.dot(hid_m, k1_ref[...], preferred_element_type=jnp.float32))
+        # Replicate the c-lane gate across the 4 phase blocks with a (128, c4)
+        # 0/1 matmul (rep[j, l] = 1 iff l % c == j, zero for j >= c — lanes
+        # c:128 of `pre` never contribute) instead of a 96-lane-piece concat,
+        # for the same Mosaic alignment reason as above.
+        rep_j = jax.lax.broadcasted_iota(jnp.int32, (128, c4), 0)
+        rep_l = jax.lax.broadcasted_iota(jnp.int32, (128, c4), 1)
+        rep = jnp.where(rep_l % c == rep_j, 1.0, 0.0)
+        gc4 = jnp.dot(jax.nn.sigmoid(pre), rep,
+                      preferred_element_type=jnp.float32)         # (1, c4)
+
+        # 3b. gated stats pass: A <- A * gc4; stats plane S -> B[:, 0:128]
+        # (B's conv_a content is dead). S layout: lane 2p = mean of phase p's
+        # channels, lane 2p+1 = max (ops/s2d.py:s2d_attention's stat-fast
+        # order). Ring rows of A are zero -> stats 0, reproducing the conv's
+        # zero padding exactly.
+        def gated_stats_body(r0):
+            img0 = r0 + RING * stride
+            z = a_ref[pl.ds(img0, m_out), :].astype(jnp.float32) * gc4
+            a_ref[pl.ds(img0, m_out), :] = z.astype(dtype)
+            stats = jnp.zeros((m_out, 128), jnp.float32)
+            for p in range(4):
+                blk_mask = jnp.logical_and(lane_c4 >= p * c,
+                                           lane_c4 < (p + 1) * c)
+                zp = jnp.where(blk_mask, z, 0.0)
+                mean_p = jnp.sum(zp, axis=1, keepdims=True) / float(c)
+                max_p = jnp.max(jnp.where(blk_mask, z, -jnp.inf), axis=1,
+                                keepdims=True)
+                max_p = jnp.maximum(max_p, 0.0)   # ring rows: all-masked -> 0
+                stats = stats + jnp.where(lane128 == 2 * p, mean_p, 0.0)
+                stats = stats + jnp.where(lane128 == 2 * p + 1, max_p, 0.0)
+            b_ref[pl.ds(img0, m_out), 0:128] = stats.astype(dtype)
+        strip_loop(gated_stats_body)
+
+    if on("attn_spatial"):
+        # 3c. spatial 7x7 stencil as an s2d conv (4x4 taps, pad_lo 2) on the
+        # stats plane; gate lanes 0..3 map to phase blocks (0,0)(0,1)(1,0)(1,1).
+        def spatial_body(r0):
+            img0 = r0 + RING * stride
+            wins = load_wins(b_ref, img0, 2, 4, 128)
+            acc = _conv_taps(wins, lambda t: kst_ref[t], 128, m_yb, 4)
+            g4 = jax.nn.sigmoid(_regroup(acc, stride, m_out, 1, 2))
+            gsel = jnp.zeros((m_out, c4), jnp.float32)
+            for p in range(4):
+                gp = g4[:, p:p + 1]
+                gsel = gsel + jnp.where(lane_c4 // c == p, gp, 0.0)
+            z = a_ref[pl.ds(img0, m_out), :].astype(jnp.float32) * gsel
+            a_ref[pl.ds(img0, m_out), :] = z.astype(dtype)
+        strip_loop(spatial_body)
 
     # ---- 4. head conv 1 (concat-free): A (d2) + f0 -> B ----
-    conv_pass(a_ref, b_ref, lambda t: kh1a_ref[t], (c4, c), 3, relu=True,
-              extra=(f0_ref, lambda t: kh1b_ref[t], None))
+    if on("head1"):
+        conv_pass(a_ref, b_ref, lambda t: kh1a_ref[t], (c4, c), 3,
+                  relu=True, extra=(f0_ref, lambda t: kh1b_ref[t], None))
 
     # ---- 5. head conv 2: B -> A[:, 0:256] (c/2 = 48 -> 192 real lanes,
     # padded to 256 so rolls run at a 128-multiple width) ----
-    conv_pass(b_ref, a_ref, lambda t: kh2_ref[t], (256, c // 2), 4,
-              relu=True)
+    if on("head2"):
+        conv_pass(b_ref, a_ref, lambda t: kh2_ref[t], (256, c // 2), 4,
+                  relu=True)
 
     # ---- 6. guidance head on x2 (input pre-padded to 128 lanes):
     # g1 -> B[:, 0:128], g2 -> A[:, 256:384] (dead lane ranges) ----
-    conv_pass(x2_ref, b_ref, lambda t: kg1_ref[t], (128, 16), 5, relu=True,
-              src_lanes=128)
+    if on("guid"):
+        conv_pass(x2_ref, b_ref, lambda t: kg1_ref[t], (128, 16), 5,
+                  relu=True, src_lanes=128)
 
-    def g2_body(r0):
-        img0 = r0 + RING * stride
-        wins = load_wins(b_ref, img0, 1, 2, 128)
-        acc = _conv_taps(wins, lambda t: kg2_ref[t], 128, m_yb, 2)
-        y = jax.nn.relu(_regroup(acc, stride, m_out, 16, 1)
-                        + sh_ref[6:7, :128])
-        y = jnp.where(valid[:, :128], y, 0.0)
-        a_ref[pl.ds(img0, m_out), 256:384] = y.astype(dtype)
-    strip_loop(g2_body)
+        def g2_body(r0):
+            img0 = r0 + RING * stride
+            wins = load_wins(b_ref, img0, 1, 2, 128)
+            acc = _conv_taps(wins, lambda t: kg2_ref[t], 128, m_yb, 2)
+            y = jax.nn.relu(_regroup(acc, stride, m_out, 16, 1)
+                            + sh_ref[6:7, :128])
+            y = jnp.where(mask_for(128), y, 0.0)
+            a_ref[pl.ds(img0, m_out), 256:384] = y.astype(dtype)
+        strip_loop(g2_body)
 
-    # ---- 7. output conv + tanh + guidance-gated blend, to out_ref ----
-    def out_body(r0):
-        img0 = r0 + RING * stride
-        hwins = load_wins(a_ref, img0, 1, 2, 256)
-        acc = _conv_taps(hwins, lambda t: kout_ref[t], 128, m_yb, 2)
-        res = jnp.tanh(_regroup(acc, stride, m_out, 3, 1)
-                       + sh_ref[7:8, :128])
-        # guidance: 1x1 expanded conv (phase gates already replicated x3
-        # across the 12 blend lanes inside kgo)
-        gsrc = a_ref[pl.ds(img0, m_out), 256:384]
-        gpre = jnp.dot(gsrc, kgo_ref[...],
-                       preferred_element_type=jnp.float32) + sh_ref[8:9, :128]
-        guid = jax.nn.sigmoid(gpre)
-        x2v = x2_ref[0, pl.ds(img0, m_out), :].astype(jnp.float32)
-        out = jnp.clip(x2v + res * guid, 0.0, 1.0)
-        out_ref[0, pl.ds(img0, m_out), :] = out
-    strip_loop(out_body)
+    if on("out"):
+        # ---- 7. output conv + tanh + guidance-gated blend, to out_ref ----
+        def out_body(r0):
+            img0 = r0 + RING * stride
+            hwins = load_wins(a_ref, img0, 1, 2, 256)
+            acc = _conv_taps(hwins, lambda t: kout_ref[t], 128, m_yb, 2)
+            res = jnp.tanh(_regroup(acc, stride, m_out, 3, 1)
+                           + sh_ref[7:8, :128])
+            # guidance: 1x1 expanded conv (phase gates already replicated x3
+            # across the 12 blend lanes inside kgo)
+            gsrc = a_ref[pl.ds(img0, m_out), 256:384]
+            gpre = jnp.dot(gsrc, kgo_ref[...],
+                           preferred_element_type=jnp.float32) + sh_ref[8:9, :128]
+            guid = jax.nn.sigmoid(gpre)
+            x2v = x2_ref[0, pl.ds(img0, m_out), :].astype(jnp.float32)
+            out = jnp.clip(x2v + res * guid, 0.0, 1.0)
+            out_ref[0, pl.ds(img0, m_out), :] = out
+        strip_loop(out_body)
 
 
 def _medium_tail_kernel(d1_ref, f0_ref, x2_ref,
@@ -321,10 +362,8 @@ def _medium_tail_kernel(d1_ref, f0_ref, x2_ref,
     m_out = strip * stride
     m_yb = m_out + stride
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (m_out, c4), 0) % stride
-    valid = jnp.logical_and(col >= RING, col < RING + w2)
-    strip_loop, load_wins, conv_pass = _kernel_helpers(
-        sh_ref, valid, h2=h2, stride=stride, strip=strip, c4=c4)
+    strip_loop, load_wins, conv_pass, _ = _kernel_helpers(
+        sh_ref, h2=h2, w2=w2, stride=stride, strip=strip, c4=c4)
 
     a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
     b_ref[...] = jnp.zeros(b_ref.shape, b_ref.dtype)
@@ -466,10 +505,10 @@ def _pick_strip(h2: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h2", "w2", "c4", "interpret", "strip"))
+    static_argnames=("h2", "w2", "c4", "interpret", "strip", "stages"))
 def _run_tail(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
               kg1, kg2, kgo, kst, k0t, k0m, k1, shifts, *,
-              h2, w2, c4, interpret=False, strip=None):
+              h2, w2, c4, interpret=False, strip=None, stages=None):
     stride = _round_up(w2 + 2 * RING, 8)
     flat = (h2 + 2 * RING) * stride + GUARD
     n = d1f.shape[0]
@@ -477,7 +516,7 @@ def _run_tail(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
     dtype = kup.dtype
     kernel = functools.partial(
         _tail_kernel, h2=h2, w2=w2, stride=stride, strip=strip, c4=c4,
-        dtype=dtype)
+        dtype=dtype, stages=stages)
     img_spec = lambda lanes: pl.BlockSpec(  # noqa: E731
         (1, flat, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -581,7 +620,8 @@ def _fold_head1_split(p, bs, name, c, c4):
 
 def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
                          interpret: bool = False,
-                         strip: Optional[int] = None):
+                         strip: Optional[int] = None,
+                         stages: Optional[tuple] = None):
     """Build fn(d1, f0s, x2) -> blended s2d output (n, h2, w2, 12) f32,
     the fused replacement for the tail of make_high_s2d_apply
     (ops/s2d.py:577-590): d1 is the plain (n, h2, w2, 4c) decoder state
@@ -670,7 +710,7 @@ def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
         out = _run_tail(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
                         kg1, kg2, kgo, kst, k0t, k0m, k1p, shifts,
                         h2=h2, w2=w2, c4=c4, interpret=interpret,
-                        strip=strip)
+                        strip=strip, stages=stages)
         out = out[:, :(h2 + 2 * RING) * stride, :]
         out = out.reshape(n, h2 + 2 * RING, stride, 128)
         return out[:, RING:RING + h2, RING:RING + w2, :12]
