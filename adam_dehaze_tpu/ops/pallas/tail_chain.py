@@ -343,7 +343,7 @@ def _tail_kernel(d1_ref, f0_ref, x2_ref,
             guid = jax.nn.sigmoid(gpre)
             x2v = x2_ref[0, pl.ds(img0, m_out), :].astype(jnp.float32)
             out = jnp.clip(x2v + res * guid, 0.0, 1.0)
-            out_ref[0, pl.ds(img0, m_out), :] = out
+            out_ref[0, pl.ds(img0, m_out), :] = out.astype(out_ref.dtype)
         strip_loop(out_body)
 
 
@@ -412,9 +412,13 @@ def _run_tail_medium(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
     w_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, (lambda i, _s=len(shape): (0,) * _s),
         memory_space=pltpu.VMEM)
+    # The output block rides the compute dtype: at batch 16 an f32 out
+    # block (9.2 MB/image, double-buffered) pushed the program 392 KB past
+    # the 120 MB scoped-VMEM limit; bf16 out keeps it comfortably under
+    # and halves the HBM write. apply_fn casts back to f32 outside.
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, flat, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, flat, 128), dtype),
         grid=(n,),
         in_specs=[
             img_spec(c4), img_spec(c4), img_spec(128),
@@ -522,9 +526,13 @@ def _run_tail(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
     w_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, (lambda i, _s=len(shape): (0,) * _s),
         memory_space=pltpu.VMEM)
+    # The output block rides the compute dtype: at batch 16 an f32 out
+    # block (9.2 MB/image, double-buffered) pushed the program 392 KB past
+    # the 120 MB scoped-VMEM limit; bf16 out keeps it comfortably under
+    # and halves the HBM write. apply_fn casts back to f32 outside.
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, flat, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, flat, 128), dtype),
         grid=(n,),
         in_specs=[
             img_spec(c4), img_spec(c4), img_spec(128),
@@ -710,7 +718,7 @@ def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
         out = _run_tail(d1f, f0f, x2f, kup, kres, kh1a, kh1b, kh2, kout,
                         kg1, kg2, kgo, kst, k0t, k0m, k1p, shifts,
                         h2=h2, w2=w2, c4=c4, interpret=interpret,
-                        strip=strip, stages=stages)
+                        strip=strip, stages=stages).astype(jnp.float32)
         out = out[:, :(h2 + 2 * RING) * stride, :]
         out = out.reshape(n, h2 + 2 * RING, stride, 128)
         return out[:, RING:RING + h2, RING:RING + w2, :12]
