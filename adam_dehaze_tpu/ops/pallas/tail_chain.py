@@ -390,7 +390,7 @@ def _medium_tail_kernel(d1_ref, f0_ref, x2_ref,
                        + sh_ref[5:6, :128])
         x2v = x2_ref[0, pl.ds(img0, m_out), :].astype(jnp.float32)
         out = jnp.clip(x2v + res, 0.0, 1.0)
-        out_ref[0, pl.ds(img0, m_out), :] = out
+        out_ref[0, pl.ds(img0, m_out), :] = out.astype(out_ref.dtype)
     strip_loop(out_body)
 
 
@@ -492,7 +492,7 @@ def make_medium_tail_chain(model, variables, dtype=jnp.bfloat16,
         out = _run_tail_medium(d1f, f0f, x2f, kup, kres, kh1a, kh1b,
                                kh2, kout, shifts,
                                h2=h2, w2=w2, c4=c4, interpret=interpret,
-                               strip=strip)
+                               strip=strip).astype(jnp.float32)
         out = out[:, :(h2 + 2 * RING) * stride, :]
         out = out.reshape(n, h2 + 2 * RING, stride, 128)
         return out[:, RING:RING + h2, RING:RING + w2, :12]
