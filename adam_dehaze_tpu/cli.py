@@ -64,6 +64,11 @@ def parse_args(argv=None):
                         "(batches) before a partial bucket dispatches")
     p.add_argument("--out", type=str, default=None,
                    help="serve: output dir (default <experiment>/served)")
+    p.add_argument("--lowres", type=str, default="",
+                   help="serve hard/spill/stream: comma-separated branch "
+                        "levels (low,medium,high) to run at half resolution "
+                        "with a guided-filter lift of the correction "
+                        "(ops/resolution.py quality/latency dial)")
     return p.parse_args(argv)
 
 
@@ -244,6 +249,7 @@ def run_serve(config, exp_dir: str, args):
       python main.py --mode serve --experiment_dir experiments/X \\
           [--data_dir DIR] [--serve_mode hard|spill|stream|queued|device|soft]
           [--queue_bucket N] [--max_wait_batches W] [--out DIR]
+          [--lowres high[,medium]]
 
     Inputs: every .png/.jpg under --data_dir (recursive), else the config
     test split's hazy images. Outputs: <out>/<basename> dehazed +
@@ -287,6 +293,13 @@ def run_serve(config, exp_dir: str, args):
                 [_imread_rgb(f, img_size) for f in files[i:i + batch]]))
 
     mode = args.serve_mode
+    lowres = tuple(s for s in getattr(args, "lowres", "").split(",") if s)
+    bad = set(lowres) - set(INTENSITY_ORDER)
+    if bad:
+        raise SystemExit(f"serve: unknown --lowres levels {sorted(bad)} "
+                         f"(choose from {list(INTENSITY_ORDER)})")
+    if lowres and mode not in ("hard", "spill", "stream"):
+        raise SystemExit("serve: --lowres applies to hard/spill/stream modes")
     results = {}  # global index -> (dehazed HWC float, intensity or None)
     if mode == "queued":
         for out, gidx, cls in dehazer.route_hard_queued(
@@ -296,7 +309,8 @@ def run_serve(config, exp_dir: str, args):
                 results[int(g)] = (row, cls)
     elif mode == "stream":
         base = 0
-        for out, intensity in dehazer.route_hard_stream(batches()):
+        for out, intensity in dehazer.route_hard_stream(batches(),
+                                                        lowres=lowres):
             for j, row in enumerate(out):
                 results[base + j] = (row, int(intensity[j]))
             base += out.shape[0]
@@ -308,7 +322,8 @@ def run_serve(config, exp_dir: str, args):
             elif mode == "device":
                 out, intensity = dehazer.route_device_binned(x)
             else:  # hard / spill
-                out, intensity = dehazer.route_hard(x, spill=(mode == "spill"))
+                out, intensity = dehazer.route_hard(x, spill=(mode == "spill"),
+                                                    lowres=lowres)
             for j in range(out.shape[0]):
                 results[base + j] = (
                     out[j], None if intensity is None else int(intensity[j]))
@@ -322,7 +337,8 @@ def run_serve(config, exp_dir: str, args):
             manifest[name] = {"intensity": intensity,
                               "branch": INTENSITY_ORDER[intensity]}
     with open(os.path.join(out_dir, "routing.json"), "w") as f:
-        json.dump({"serve_mode": mode, "images": manifest}, f, indent=2)
+        json.dump({"serve_mode": mode, "lowres": list(lowres),
+                   "images": manifest}, f, indent=2)
 
     hist = {}
     for v in manifest.values():

@@ -62,7 +62,14 @@ class AdaptiveDehazer:
         dehazed, _ = self._soft(jnp.asarray(images))
         return np.asarray(dehazed)
 
-    def _branch_applies(self):
+    def _branch_applies(self, lowres=(), lowres_scale: int = 2,
+                        lowres_mode: str = "guided"):
+        """Per-branch serving applies in INTENSITY_ORDER.
+
+        lowres: level names served at 1/lowres_scale resolution with a
+        guided-filter lift of the correction back to full res
+        (ops/resolution.py) — an opt-in quality/latency dial for the
+        expensive branches, NOT an equivalence-preserving path."""
         from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
         from adam_dehaze_tpu.ops.s2d import make_serving_apply
         quant = self.config.get("tpu", {}).get("serving_quant") or None
@@ -91,7 +98,25 @@ class AdaptiveDehazer:
                 fn = (lambda x, m=module, v=sub: m.apply(v, x))
                 fn = quantize_apply(fn)
             fns.append(fn)
+        if lowres:
+            from adam_dehaze_tpu.ops.resolution import make_lowres_apply
+            fns = [make_lowres_apply(fn, scale=lowres_scale, mode=lowres_mode)
+                   if level in lowres else fn
+                   for level, fn in zip(INTENSITY_ORDER, fns)]
         return fns
+
+    def _binned_engine(self, lowres=(), lowres_scale: int = 2,
+                       lowres_mode: str = "guided"):
+        lowres = tuple(sorted(lowres))
+        key = ("binned" if not lowres else
+               f"binned_lowres_{'-'.join(lowres)}_{lowres_scale}_{lowres_mode}")
+        if key not in self._engines:
+            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+            self._engines[key] = BinnedAdaptiveEngine(
+                self._classifier_apply(),
+                self._branch_applies(lowres=lowres, lowres_scale=lowres_scale,
+                                     lowres_mode=lowres_mode))
+        return self._engines[key]
 
     def _classifier_apply(self):
         sub = {"params": self._variables["params"]["classifier"],
@@ -105,31 +130,27 @@ class AdaptiveDehazer:
             "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32)
         return make_classifier_serving_apply(clf, sub, dtype=dtype)
 
-    def route_hard(self, images,
-                   spill: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    def route_hard(self, images, spill: bool = False,
+                   lowres=()) -> Tuple[np.ndarray, np.ndarray]:
         """Binned hard routing: each image pays only its own branch.
         spill=True serves per-class overflow with a neighboring branch's
         free pad slots (capacity policy, models/routing.py:
         plan_capacity_spill) so skewed traffic never pays an extra padded
-        bucket program."""
-        if "binned" not in self._engines:
-            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
-            self._engines["binned"] = BinnedAdaptiveEngine(
-                self._classifier_apply(), self._branch_applies())
-        out, intensity = self._engines["binned"](jnp.asarray(images),
-                                                 spill=spill)
+        bucket program.
+        lowres=("high",) serves those branches at half resolution with a
+        guided-filter lift of the correction (ops/resolution.py) — a
+        quality/latency dial; see round_results/resolution_scheduling.json
+        for the measured trade."""
+        engine = self._binned_engine(lowres=lowres)
+        out, intensity = engine(jnp.asarray(images), spill=spill)
         return np.asarray(out), np.asarray(intensity)
 
-    def route_hard_stream(self, batches, spill: bool = False):
+    def route_hard_stream(self, batches, spill: bool = False, lowres=()):
         """Steady-state pipelined serving over an iterable of batches: the
         classifier of batch k+1 overlaps batch k's host binning round-trip
         (models/routing.py:BinnedAdaptiveEngine.run_stream). Yields
         (dehazed np.ndarray, intensity np.ndarray)."""
-        if "binned" not in self._engines:
-            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
-            self._engines["binned"] = BinnedAdaptiveEngine(
-                self._classifier_apply(), self._branch_applies())
-        for out, intensity in self._engines["binned"].run_stream(
+        for out, intensity in self._binned_engine(lowres=lowres).run_stream(
                 batches, spill=spill):
             yield np.asarray(out), np.asarray(intensity)
 
@@ -146,11 +167,7 @@ class AdaptiveDehazer:
         image dispatches (through one padded ladder program) after at most
         that many further batch arrivals even if its class bucket never
         fills. Yields (dehazed, global_indices, cls) per bucket."""
-        if "binned" not in self._engines:
-            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
-            self._engines["binned"] = BinnedAdaptiveEngine(
-                self._classifier_apply(), self._branch_applies())
-        yield from self._engines["binned"].run_queued(
+        yield from self._binned_engine().run_queued(
             batches, queue_bucket=queue_bucket, flush=flush,
             max_wait_batches=max_wait_batches)
 

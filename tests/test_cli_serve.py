@@ -56,9 +56,10 @@ def image_dir(tmp_path):
     return str(d)
 
 
-@pytest.mark.parametrize("serve_mode", ["hard", "queued", "soft"])
+@pytest.mark.parametrize("serve_mode,lowres", [
+    ("hard", ""), ("queued", ""), ("soft", ""), ("hard", "high,medium")])
 def test_run_serve_modes(tiny_pipeline, image_dir, tmp_path, monkeypatch,
-                         serve_mode):
+                         serve_mode, lowres):
     from adam_dehaze_tpu import cli
     from adam_dehaze_tpu.evaluation import evaluate as eval_mod
 
@@ -67,7 +68,8 @@ def test_run_serve_modes(tiny_pipeline, image_dir, tmp_path, monkeypatch,
                         lambda cfg: (router, state))
     out_dir = str(tmp_path / f"served_{serve_mode}")
     args = SimpleNamespace(data_dir=image_dir, serve_mode=serve_mode,
-                           queue_bucket=4, max_wait_batches=1, out=out_dir)
+                           queue_bucket=4, max_wait_batches=1, out=out_dir,
+                           lowres=lowres)
     cli.run_serve(config, str(tmp_path), args)
 
     served = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
