@@ -9,6 +9,7 @@ augmentation inside), batched on-device validation, real `--resume`.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -91,7 +92,7 @@ def make_train_step(model, tx, augmentation: bool = True,
     Set classifier.jitter: 0 when brightness/contrast ARE the label signal
     (synthetic fog-intensity corpora): +-10% jitter moves samples across
     class boundaries and caps accuracy well below the 99.8% target."""
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
         kaug, kdrop = jax.random.split(key)
         if augmentation:

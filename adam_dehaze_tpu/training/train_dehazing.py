@@ -14,6 +14,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict
 
 import jax
@@ -98,7 +99,7 @@ def make_train_step(model, tx, loss, loss_params, augmentation=True,
         # Recompute branch activations in the backward pass (HBM for FLOPs).
         fwd = jax.checkpoint(fwd)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
         if augmentation:
             batch = augment_triplet(key, batch)

@@ -10,6 +10,7 @@ all static-shape and batched under one jitted step.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict, List, Sequence
 
 import jax
@@ -135,7 +136,7 @@ def fcos_loss(level_outputs: Sequence[Dict], boxes, labels, n_boxes,
 
 
 def make_detection_train_step(module: FCOSDetector, tx):
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch):
         def loss_fn(params):
             outs, mut = module.apply(

@@ -20,6 +20,7 @@ routing.py:23) — a latent bug. We route hard with argmax(logits).
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -116,7 +117,11 @@ def make_train_step(router, tx, joint_loss, loss_params, augmentation=True,
     if remat:
         fwd = jax.checkpoint(fwd)
 
-    @jax.jit
+    # Donating the state lets XLA update params/Adam moments in place
+    # instead of double-buffering them in HBM. Callers must rebind `state`
+    # from the return value and never step the same underlying buffers
+    # twice (donation deletes the input arrays on every backend).
+    @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
         kaug, kdrop = jax.random.split(key)
         if augmentation:

@@ -43,14 +43,19 @@ def main():
         "intensity": jnp.arange(BATCH) % 3,
     }
 
+    def _sync(st):
+        # Axon: a device->host scalar fetch is the only reliable sync
+        # (block_until_ready alone does not force pure-jit chains).
+        return float(jnp.sum(jax.tree_util.tree_leaves(st.params)[0]))
+
     for _ in range(3):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(state.params)
+    _sync(state)
     start = time.perf_counter()
     iters = 10
     for _ in range(iters):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(state.params)
+    _sync(state)
     sec = (time.perf_counter() - start) / iters
     print(json.dumps({
         "metric": "joint_train_images_per_sec_256",

@@ -44,12 +44,14 @@ def test_joint_step_all_router_types(routing_type, key, rng):
         "dehazed": jnp.zeros((2, 32, 32, 3)),
         "intensity": jnp.array([0, 2]),
     }
+    # The train step donates its input state — snapshot params first.
+    old_params = jax.tree_util.tree_map(jnp.copy, state.params)
     new_state, metrics = step(state, batch, key)
     assert jnp.isfinite(metrics["total"])
     # Classifier params untouched (frozen), branch params changed.
     clf_same = jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: bool(jnp.all(a == b)),
-        state.params["classifier"], new_state.params["classifier"]))
+        old_params["classifier"], new_state.params["classifier"]))
     assert clf_same
     # At least one branch's params moved (under hard routing only the
     # selected branches receive gradient — one-hot zeroes the rest).
@@ -57,7 +59,7 @@ def test_joint_step_all_router_types(routing_type, key, rng):
     for level in ("models_low", "models_medium", "models_high"):
         diffs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a - b).max()),
-            state.params[level], new_state.params[level]))
+            old_params[level], new_state.params[level]))
         moved.append(max(diffs) > 0)
     assert any(moved)
 

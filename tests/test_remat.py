@@ -27,10 +27,14 @@ def test_remat_matches_plain(key, rng):
              "intensity": jnp.zeros((2,), jnp.int32)}
     results = []
     for remat in (False, True):
+        # Fresh buffers each round: the train step donates its input state,
+        # so sharing `variables`' arrays across rounds would step deleted
+        # buffers the second time.
+        fresh = jax.tree_util.tree_map(jnp.copy, variables)
         state = TrainState(step=jnp.zeros((), jnp.int32),
-                           params=variables["params"],
-                           batch_stats=variables["batch_stats"],
-                           opt_state=tx.init(variables["params"]))
+                           params=fresh["params"],
+                           batch_stats=fresh["batch_stats"],
+                           opt_state=tx.init(fresh["params"]))
         step = make_train_step(model, tx, loss, loss_params,
                                augmentation=False, remat=remat)
         new_state, comps = step(state, batch, key)

@@ -27,7 +27,12 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke tests)")
     args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from adam_dehaze_tpu.config import default_config
     from adam_dehaze_tpu.losses.dehazing import get_joint_loss
@@ -73,21 +78,42 @@ def main():
     def sync(st):
         return float(jnp.sum(jax.tree_util.tree_leaves(st.params)[0]))
 
+    # AOT-compile ONCE and execute that same executable: a second jit-path
+    # compile would cost another ~15 min terminal-side on axon, and this
+    # also gives us cost_analysis() (exact fwd+bwd+loss+Adam FLOPs) for an
+    # honest train-MFU figure without any extra compile.
+    compiled = step.lower(state, batch, key).compile()
+
     for i in range(3):
-        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(10 + i))
     sync(state)
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(100 + i))
     sync(state)
     dt = (time.perf_counter() - t0) / args.steps
-    print(json.dumps({
+
+    line = {
         "metric": "joint_train_imgs_per_sec_per_chip",
         "value": round(args.batch / dt, 1),
         "sec_per_step": round(dt, 4),
         "batch": args.batch, "size": args.size,
         "device": jax.devices()[0].device_kind,
-    }))
+    }
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            from bench import _peak_tflops  # repo-root bench helpers
+            peak = _peak_tflops()
+            line["train_gflops_per_step"] = round(flops / 1e9, 1)
+            line["train_mfu_pct"] = round(flops / dt / (peak * 1e12) * 100, 1)
+            line["assumed_peak_tflops"] = peak
+    except Exception as e:  # cost analysis is best-effort on axon
+        line["cost_analysis_error"] = str(e)[:120]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
