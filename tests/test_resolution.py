@@ -80,6 +80,25 @@ def test_lowres_apply_runs_at_reduced_resolution(x):
     assert seen == [(4, 16, 16, 3)]
 
 
+def test_lowres_composes_with_spill(key, x):
+    """Capacity-spill and the resolution dial are orthogonal engine options:
+    identity branches make the composed output exactly checkable."""
+    def classifier(img):
+        n = img.shape[0]
+        # Skewed traffic: all but one image in class 2 forces spill handling.
+        cls = jnp.where(jnp.arange(n) == 0, 0, 2)
+        return jax.nn.one_hot(cls, 3) * 10.0, {}
+
+    ident = lambda v: v
+    eng = BinnedAdaptiveEngine(
+        classifier,
+        [ident, ident, make_lowres_apply(ident, mode="guided")],
+        buckets=(2,))
+    out, intensity = eng(x, spill=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+    assert intensity.shape == (x.shape[0],)
+
+
 def test_binned_engine_with_lowres_branch(key, x):
     """Engine integration: a low-res-wrapped branch routes and reassembles
     exactly like a full-res one (identity branches make it checkable)."""
