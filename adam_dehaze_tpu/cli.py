@@ -17,6 +17,10 @@ Divergences (documented):
 - `serve` (new surface): batch inference over a directory of images
   through any serving engine (soft/hard/spill/stream/queued/device) with
   a routing manifest — the reference has no inference CLI.
+- `export` (new surface): write a precompiled serving bundle
+  (serving_export.py) so later `serve --precompiled auto` cold-starts
+  load already-compiled executables instead of paying XLA compiles —
+  the reference has no deployment/export story at all.
 """
 from __future__ import annotations
 
@@ -33,7 +37,8 @@ from adam_dehaze_tpu.config import (
 from adam_dehaze_tpu.utils.helpers import seed_everything
 
 MODES = ("preprocess", "train_classifier", "train_dehazing", "train_joint",
-         "train_all", "train_detection", "evaluate", "demo", "serve", "bench")
+         "train_all", "train_detection", "evaluate", "demo", "serve",
+         "export", "bench")
 
 SERVE_MODES = ("soft", "hard", "spill", "stream", "queued", "device")
 
@@ -64,6 +69,10 @@ def parse_args(argv=None):
                         "(batches) before a partial bucket dispatches")
     p.add_argument("--out", type=str, default=None,
                    help="serve: output dir (default <experiment>/served)")
+    p.add_argument("--precompiled", type=str, default=None,
+                   help="serve: precompiled serving bundle dir, or 'auto' "
+                        "for <experiment_dir>/precompiled; export: output "
+                        "dir (same default)")
     p.add_argument("--lowres", type=str, default="",
                    help="serve hard/spill/stream: comma-separated branch "
                         "levels (low,medium,high) to run at half resolution "
@@ -192,6 +201,9 @@ def main(argv=None):
     elif args.mode == "serve":
         run_serve(config, exp_dir, args)
 
+    elif args.mode == "export":
+        run_export(config, exp_dir, args)
+
     elif args.mode == "bench":
         import subprocess
         import sys
@@ -285,7 +297,8 @@ def run_serve(config, exp_dir: str, args):
     os.makedirs(out_dir, exist_ok=True)
 
     router, state = _load_joint(config)
-    dehazer = AdaptiveDehazer(router, state, config)
+    dehazer = AdaptiveDehazer(router, state, config,
+                              precompiled=_resolve_bundle(args, exp_dir))
 
     def batches():
         for i in range(0, len(files), batch):
@@ -345,6 +358,39 @@ def run_serve(config, exp_dir: str, args):
         hist[v["branch"]] = hist.get(v["branch"], 0) + 1
     print(f"Served {len(results)} images via '{mode}' -> {out_dir} "
           f"(routing: {hist if hist else 'soft blend'})")
+
+
+def _resolve_bundle(args, exp_dir: str):
+    """--precompiled PATH|auto -> bundle dir (or None when absent)."""
+    pre = getattr(args, "precompiled", None)
+    if pre == "auto":
+        cand = os.path.join(exp_dir, "precompiled")
+        return cand if os.path.isdir(cand) else None
+    return pre
+
+
+def run_export(config, exp_dir: str, args):
+    """Write a precompiled serving bundle for this experiment.
+
+      python main.py --mode export --experiment_dir experiments/X \\
+          [--precompiled OUTDIR] [--batch_size N] [--queue_bucket B]
+
+    One-time cost ≈ a full serving warmup; afterwards `--mode serve
+    --precompiled auto` (or `AdaptiveDehazer.from_experiment(...,
+    precompiled=...)`) reaches first-batch-served without any XLA
+    compile. Bundle is pinned to (backend, device_kind, jax version)."""
+    from adam_dehaze_tpu.evaluation.evaluate import _load_joint
+    from adam_dehaze_tpu.serving import AdaptiveDehazer
+
+    out = args.precompiled if args.precompiled not in (None, "auto") else \
+        os.path.join(exp_dir, "precompiled")
+    router, state = _load_joint(config)
+    dehazer = AdaptiveDehazer(router, state, config)
+    batch = config["dataset"]["batch_size"]
+    written = dehazer.export_precompiled(
+        out, batch_sizes=(batch,), queue_buckets=(args.queue_bucket,),
+        device_buckets=(16, batch), progress=lambda m: print(f"  {m}"))
+    print(f"Exported {len(written)} serving programs -> {out}")
 
 
 if __name__ == "__main__":

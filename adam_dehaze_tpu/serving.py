@@ -15,6 +15,7 @@ Modes map onto the routing engines in models/routing.py:
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -26,7 +27,8 @@ from adam_dehaze_tpu.config import load_config, update_checkpoint_paths
 
 class AdaptiveDehazer:
     def __init__(self, router, state, config, autotune: bool = False,
-                 autotune_cache: Optional[str] = None):
+                 autotune_cache: Optional[str] = None,
+                 precompiled: Optional[str] = None):
         self.router = router
         self.config = config
         self._variables = {"params": state.params,
@@ -37,25 +39,58 @@ class AdaptiveDehazer:
         self._autotune = autotune
         self._autotune_cache = autotune_cache
         self.autotune_report: Dict[str, dict] = {}
+        # Precompiled serving bundle (serving_export.py): loaded executables
+        # keyed by program name + input signature; attached to the plain
+        # binned engine and the device-binned programs as they are built.
+        # An incompatible bundle (other backend / device generation / jax
+        # version) is refused here and serving falls back to normal jit.
+        self._bundle_table = None
+        if precompiled:
+            from adam_dehaze_tpu.serving_export import (
+                load_bundle_programs, read_manifest)
+            try:
+                quant = self.config.get("tpu", {}).get("serving_quant") or None
+                manifest = read_manifest(precompiled) or {}
+                bundle_quant = manifest.get("extra", {}).get("quant")
+                if bundle_quant != quant:
+                    raise ValueError(
+                        f"bundle quant={bundle_quant!r} != config "
+                        f"quant={quant!r} (results would differ)")
+                self._bundle_table = load_bundle_programs(precompiled)
+            except (ValueError, OSError) as e:
+                warnings.warn(f"ignoring precompiled bundle {precompiled}: "
+                              f"{e}")
 
     @classmethod
     def from_experiment(cls, experiment_dir: str,
                         config_path: Optional[str] = None,
-                        autotune: bool = False) -> "AdaptiveDehazer":
+                        autotune: bool = False,
+                        precompiled: Optional[str] = None,
+                        ) -> "AdaptiveDehazer":
         """Load config + best joint checkpoint from an experiment dir.
 
         autotune=True replaces the hand-probed per-branch serving dispatch
         with an on-the-spot fair-dtype A/B over every equivalence-tested
         serving path (serving_autotune.py), cached in the experiment dir so
-        later loads skip the timing."""
+        later loads skip the timing.
+
+        precompiled: path to a serving bundle written by
+        `export_precompiled` — serving programs load as already-compiled
+        XLA executables (no trace, no compile; cold start in seconds).
+        Pass precompiled="auto" to use `<experiment_dir>/precompiled` when
+        it exists."""
         cfg_file = config_path or os.path.join(experiment_dir, "config.yaml")
         config = load_config(cfg_file if os.path.exists(cfg_file) else None)
         config = update_checkpoint_paths(config, experiment_dir)
         from adam_dehaze_tpu.evaluation.evaluate import _load_joint
         router, state = _load_joint(config)
+        if precompiled == "auto":
+            cand = os.path.join(experiment_dir, "precompiled")
+            precompiled = cand if os.path.isdir(cand) else None
         return cls(router, state, config, autotune=autotune,
                    autotune_cache=os.path.join(experiment_dir,
-                                               "serving_autotune.json"))
+                                               "serving_autotune.json"),
+                   precompiled=precompiled)
 
     def __call__(self, images) -> np.ndarray:
         """Soft-routed dehazing: (N, H, W, 3) float [0,1] -> same."""
@@ -112,10 +147,18 @@ class AdaptiveDehazer:
                f"binned_lowres_{'-'.join(lowres)}_{lowres_scale}_{lowres_mode}")
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
-            self._engines[key] = BinnedAdaptiveEngine(
+            engine = BinnedAdaptiveEngine(
                 self._classifier_apply(),
                 self._branch_applies(lowres=lowres, lowres_scale=lowres_scale,
                                      lowres_mode=lowres_mode))
+            # Attach the precompiled bundle ONLY to the plain engine: the
+            # lowres variants compute different math behind identical input
+            # signatures, so a shape-match there would silently serve the
+            # full-resolution program.
+            if self._bundle_table and key == "binned":
+                from adam_dehaze_tpu.serving_export import attach_engine
+                attach_engine(engine, self._bundle_table)
+            self._engines[key] = engine
         return self._engines[key]
 
     def _classifier_apply(self):
@@ -179,14 +222,24 @@ class AdaptiveDehazer:
         high-throughput adaptive path on remote/tunneled runtimes.
         spill=True applies the on-device capacity plan (overflow served by a
         neighboring branch; skewed traffic runs no extra chunks)."""
+        out, intensity, _ = self._device_binned_fn(chunk, spill)(
+            jnp.asarray(images))
+        return np.asarray(out), np.asarray(intensity)
+
+    def _device_binned_fn(self, chunk: int, spill: bool):
         key = f"device_binned_{chunk}_{spill}"
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import make_device_binned_infer
-            self._engines[key] = jax.jit(make_device_binned_infer(
+            fn = jax.jit(make_device_binned_infer(
                 self._classifier_apply(), self._branch_applies(), chunk=chunk,
                 spill=spill))
-        out, intensity, _ = self._engines[key](jnp.asarray(images))
-        return np.asarray(out), np.asarray(intensity)
+            progs = (self._bundle_table or {}).get(
+                f"device{chunk}_{int(spill)}")
+            if progs:
+                from adam_dehaze_tpu.serving_export import PrecompiledDispatch
+                fn = PrecompiledDispatch(fn, progs)
+            self._engines[key] = fn
+        return self._engines[key]
 
     # Batch-size buckets for shape-robust streaming: ragged traffic is padded
     # up to the nearest bucket so every dispatch reuses a precompiled program
@@ -211,13 +264,7 @@ class AdaptiveDehazer:
         (pad rows repeat the last image and are sliced off the results), so
         production traffic never recompiles. Yields
         (dehazed np.ndarray, intensity np.ndarray)."""
-        key = f"device_binned_{chunk}_{spill}"
-        if key not in self._engines:
-            from adam_dehaze_tpu.models.routing import make_device_binned_infer
-            self._engines[key] = jax.jit(make_device_binned_infer(
-                self._classifier_apply(), self._branch_applies(), chunk=chunk,
-                spill=spill))
-        fn = self._engines[key]
+        fn = self._device_binned_fn(chunk, spill)
         buckets = tuple(sorted(buckets or self.STREAM_BUCKETS))
         pending = []
 
@@ -249,6 +296,47 @@ class AdaptiveDehazer:
                 self._classifier_apply(), self._branch_applies(), "switch"))
         out, intensity = self._engines["switch"](jnp.asarray(images))
         return np.asarray(out), np.asarray(intensity)
+
+    def export_precompiled(self, bundle_dir: str,
+                           batch_sizes=(48,), buckets=None,
+                           queue_buckets=(16,), device_buckets=(16, 48),
+                           device_chunk: int = 16,
+                           device_spill: bool = False,
+                           progress=None) -> dict:
+        """Write a precompiled serving bundle (serving_export.py).
+
+        AOT-compiles the binned engine's programs (classifier, logits, the
+        fused gather->branch->scatter steps over the bucket ladder, the
+        plain branch applies at `queue_buckets`) plus the single-program
+        device-binned path at `device_buckets`, and serializes every
+        executable — weights included as baked constants — under
+        `bundle_dir`. One-time cost ≈ a full serving warmup; afterwards
+        `from_experiment(..., precompiled=bundle_dir)` reaches
+        first-batch-served without any XLA compile. The bundle is pinned to
+        (backend, device_kind, jax version).
+        """
+        from adam_dehaze_tpu.serving_export import (
+            export_engine, export_program, set_manifest_extra)
+        img = self.config["dataset"]["img_size"]
+        engine = self._binned_engine()
+        written = export_engine(
+            engine, bundle_dir, batch_sizes=batch_sizes, buckets=buckets,
+            queue_buckets=queue_buckets, img_hw=(img, img),
+            progress=progress)
+        for b in dict.fromkeys(device_buckets):
+            fn = self._device_binned_fn(device_chunk, device_spill)
+            if getattr(fn, "precompiled", False):
+                fn = fn._fallback  # export from the jitted fn, not a loaded exec
+            x = jnp.zeros((b, img, img, 3), jnp.float32)
+            name = f"device{device_chunk}_{int(device_spill)}"
+            if progress:
+                progress(f"export {name} b={b}")
+            written[export_program(fn, (x,), name, bundle_dir)] = name
+        set_manifest_extra(
+            bundle_dir,
+            quant=self.config.get("tpu", {}).get("serving_quant") or None,
+            autotune=self._autotune)
+        return written
 
     def classify(self, images) -> np.ndarray:
         """Fog-intensity predictions (N,) in {0: low, 1: medium, 2: high}."""

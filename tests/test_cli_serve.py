@@ -109,3 +109,45 @@ def test_run_serve_no_inputs_errors(tiny_pipeline, tmp_path, monkeypatch):
                            queue_bucket=4, max_wait_batches=None, out=None)
     with pytest.raises(SystemExit):
         cli.run_serve(config, str(tmp_path), args)
+
+
+def test_export_then_serve_precompiled(tiny_pipeline, image_dir, tmp_path,
+                                       monkeypatch):
+    """`--mode export` writes a bundle; `serve --precompiled auto` serves
+    identical results through loaded executables (cli.py:run_export)."""
+    from adam_dehaze_tpu import cli
+    from adam_dehaze_tpu.evaluation import evaluate as eval_mod
+    from adam_dehaze_tpu.serving_export import read_manifest
+
+    config, router, state = tiny_pipeline
+    monkeypatch.setattr(eval_mod, "_load_joint",
+                        lambda cfg: (router, state))
+    exp_dir = str(tmp_path)
+    args = SimpleNamespace(precompiled=None, queue_bucket=4)
+    cli.run_export(config, exp_dir, args)
+    bundle = os.path.join(exp_dir, "precompiled")
+    assert read_manifest(bundle)["programs"]
+
+    out_a = str(tmp_path / "served_plain")
+    out_b = str(tmp_path / "served_bundle")
+    base = dict(data_dir=image_dir, serve_mode="hard", queue_bucket=4,
+                max_wait_batches=None, lowres="")
+    cli.run_serve(config, exp_dir,
+                  SimpleNamespace(out=out_a, precompiled=None, **base))
+    cli.run_serve(config, exp_dir,
+                  SimpleNamespace(out=out_b, precompiled="auto", **base))
+    from adam_dehaze_tpu.data.dataset import _imread_rgb
+    for name in sorted(os.listdir(out_a)):
+        if not name.endswith(".png"):
+            continue
+        a = _imread_rgb(os.path.join(out_a, name), 32)
+        b = _imread_rgb(os.path.join(out_b, name), 32)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_export_mode_in_cli_choices():
+    from adam_dehaze_tpu import cli
+
+    assert "export" in cli.MODES
+    args = cli.parse_args(["--mode", "export", "--precompiled", "auto"])
+    assert (args.mode, args.precompiled) == ("export", "auto")
