@@ -69,6 +69,10 @@ def parse_args(argv=None):
                         "(batches) before a partial bucket dispatches")
     p.add_argument("--out", type=str, default=None,
                    help="serve: output dir (default <experiment>/served)")
+    p.add_argument("--detect", action="store_true",
+                   help="serve: run the trained detector on the dehazed "
+                        "outputs and write detections.json (boxes/scores/"
+                        "labels per image)")
     p.add_argument("--precompiled", type=str, default=None,
                    help="serve: precompiled serving bundle dir, or 'auto' "
                         "for <experiment_dir>/precompiled; export: output "
@@ -261,11 +265,13 @@ def run_serve(config, exp_dir: str, args):
       python main.py --mode serve --experiment_dir experiments/X \\
           [--data_dir DIR] [--serve_mode hard|spill|stream|queued|device|soft]
           [--queue_bucket N] [--max_wait_batches W] [--out DIR]
-          [--lowres high[,medium]]
+          [--lowres high[,medium]] [--detect] [--precompiled DIR|auto]
 
     Inputs: every .png/.jpg under --data_dir (recursive), else the config
     test split's hazy images. Outputs: <out>/<basename> dehazed +
-    <out>/routing.json {filename: {intensity, branch}} for hard modes.
+    <out>/routing.json {filename: {intensity, branch}} for hard modes;
+    --detect adds <out>/detections.json from the trained detector run on
+    the dehazed outputs.
     """
     import glob
     import json
@@ -349,6 +355,9 @@ def run_serve(config, exp_dir: str, args):
         if intensity is not None:
             manifest[name] = {"intensity": intensity,
                               "branch": INTENSITY_ORDER[intensity]}
+
+    if getattr(args, "detect", False):
+        _serve_detect(config, files, results, out_dir, batch)
     with open(os.path.join(out_dir, "routing.json"), "w") as f:
         json.dump({"serve_mode": mode, "lowres": list(lowres),
                    "images": manifest}, f, indent=2)
@@ -358,6 +367,39 @@ def run_serve(config, exp_dir: str, args):
         hist[v["branch"]] = hist.get(v["branch"], 0) + 1
     print(f"Served {len(results)} images via '{mode}' -> {out_dir} "
           f"(routing: {hist if hist else 'soft blend'})")
+
+
+def _serve_detect(config, files, results, out_dir: str, batch: int):
+    """Run the trained detector on the served (dehazed) images and write
+    <out_dir>/detections.json: {filename: {boxes, scores, labels}} in xyxy
+    pixel coordinates — the user-facing half of the reference's
+    dehaze->detect pipeline (reference: models/detection.py:74-125 wires it
+    for eval only; there is no inference output surface)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adam_dehaze_tpu.evaluation.evaluate import load_detection_model
+    from adam_dehaze_tpu.models.detection import IMAGENET_MEAN, IMAGENET_STD
+
+    det_model = load_detection_model(config)
+    order = sorted(results)
+    detections = {}
+    for i in range(0, len(order), batch):
+        idx = order[i:i + batch]
+        x = jnp.asarray(np.stack(
+            [np.asarray(results[g][0], np.float32) for g in idx]))
+        for g, det in zip(idx, det_model((x - IMAGENET_MEAN) / IMAGENET_STD)):
+            detections[os.path.basename(files[g])] = {
+                "boxes": det["boxes"].tolist(),
+                "scores": det["scores"].tolist(),
+                "labels": det["labels"].tolist()}
+    with open(os.path.join(out_dir, "detections.json"), "w") as f:
+        json.dump(detections, f, indent=2)
+    n = sum(len(v["scores"]) for v in detections.values())
+    print(f"Detected {n} objects across {len(detections)} images -> "
+          f"{out_dir}/detections.json")
 
 
 def _resolve_bundle(args, exp_dir: str):

@@ -362,18 +362,12 @@ def _merge_annotations(ann_cfg: Dict[str, str]):
 _LEVELS = {0: "low", 1: "medium", 2: "high"}
 
 
-def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]:
-    """Detection mAP on hazy vs dehazed images
-    (reference: evaluate.py:179-383, dehazed path fixed).
-
-    Uses the TRAINED detector checkpoint when present
-    (detection.checkpoint_dir/best_model, written by train_detection) and the
-    per-intensity GT annotation files, aligned by file name."""
-    if router is None:
-        router, state = _load_joint(config)
+def load_detection_model(config, image_size: int = None):
+    """Detection model initialised with the TRAINED checkpoint when present
+    (detection.checkpoint_dir/best_model, written by train_detection)."""
     det_model = create_detection_model(config)
     det_model.init(jax.random.PRNGKey(1),
-                   image_size=config["dataset"]["img_size"])
+                   image_size=image_size or config["dataset"]["img_size"])
     det_best = ckpt.best_model_path(config["detection"]["checkpoint_dir"])
     if os.path.isdir(det_best):
         # The trainer saves the FULL train state (step/params/batch_stats/
@@ -384,8 +378,20 @@ def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]
                                "batch_stats": tree["batch_stats"]}
         print(f"Loaded trained detector from {det_best}")
     else:
-        print("WARNING: no trained detector checkpoint — mAP numbers will be "
+        print("WARNING: no trained detector checkpoint — detections will be "
               "noise (random detector weights)")
+    return det_model
+
+
+def evaluate_object_detection(config, router=None, state=None) -> Dict[str, Any]:
+    """Detection mAP on hazy vs dehazed images
+    (reference: evaluate.py:179-383, dehazed path fixed).
+
+    Uses the TRAINED detector checkpoint when present and the per-intensity
+    GT annotation files, aligned by file name."""
+    if router is None:
+        router, state = _load_joint(config)
+    det_model = load_detection_model(config)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     dehaze_fn = jax.jit(lambda x: router.apply(variables, x, train=False))

@@ -151,3 +151,31 @@ def test_export_mode_in_cli_choices():
     assert "export" in cli.MODES
     args = cli.parse_args(["--mode", "export", "--precompiled", "auto"])
     assert (args.mode, args.precompiled) == ("export", "auto")
+
+
+def test_serve_detect_writes_detections(tiny_pipeline, image_dir, tmp_path,
+                                        monkeypatch):
+    """--detect runs the detector on the dehazed outputs and writes
+    detections.json with xyxy boxes inside the image bounds."""
+    from adam_dehaze_tpu import cli
+    from adam_dehaze_tpu.evaluation import evaluate as eval_mod
+
+    config, router, state = tiny_pipeline
+    monkeypatch.setattr(eval_mod, "_load_joint",
+                        lambda cfg: (router, state))
+    out_dir = str(tmp_path / "served_detect")
+    args = SimpleNamespace(data_dir=image_dir, serve_mode="hard",
+                           queue_bucket=4, max_wait_batches=None,
+                           out=out_dir, lowres="", detect=True)
+    cli.run_serve(config, str(tmp_path), args)
+
+    with open(os.path.join(out_dir, "detections.json")) as f:
+        detections = json.load(f)
+    assert set(detections) == {f"img_{i:02d}.png" for i in range(6)}
+    size = config["dataset"]["img_size"]
+    for det in detections.values():
+        assert set(det) == {"boxes", "scores", "labels"}
+        assert len(det["boxes"]) == len(det["scores"]) == len(det["labels"])
+        for box in det["boxes"]:
+            x0, y0, x1, y1 = box
+            assert 0 <= x0 <= x1 <= size and 0 <= y0 <= y1 <= size
