@@ -297,6 +297,41 @@ class AdaptiveDehazer:
         out, intensity = self._engines["switch"](jnp.asarray(images))
         return np.asarray(out), np.asarray(intensity)
 
+    def route_sharded(self, images, mesh=None, chunk: int = 16,
+                      spill: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        """Multi-chip adaptive serving: the device-binned engine under
+        shard_map over a data mesh (models/routing.py:
+        make_sharded_binned_infer — per-device local binning, ZERO
+        collectives added to the serving path; params replicated).
+
+        mesh: a jax.sharding.Mesh with a 'data' axis; defaults to every
+        local device on one 'data' axis. Ragged batches are padded up to a
+        multiple of the axis size (pad rows repeat the last image and are
+        sliced off), so any batch size serves without retracing per shape.
+        spill=True applies the per-device capacity plan."""
+        if mesh is None:
+            from jax.sharding import Mesh
+            devs = np.asarray(jax.devices())
+            mesh = Mesh(devs.reshape(len(devs)), ("data",))
+        n_dev = mesh.shape["data"]
+        key = f"sharded_{id(mesh)}_{chunk}_{spill}"
+        if key not in self._engines:
+            from adam_dehaze_tpu.models.routing import make_sharded_binned_infer
+            self._engines[key] = make_sharded_binned_infer(
+                self._classifier_apply(), self._branch_applies(), mesh,
+                chunk=chunk, spill=spill)
+        fn = self._engines[key]
+        images = np.asarray(images)
+        n = images.shape[0]
+        from adam_dehaze_tpu.models.routing import bucket_for
+        ladder = (n_dev,) + tuple(b * n_dev for b in self.STREAM_BUCKETS)
+        padded = bucket_for(max(n, n_dev), sorted(set(ladder)), extend=True)
+        if padded > n:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], padded - n, axis=0)])
+        out, intensity, _ = fn(jnp.asarray(images))
+        return np.asarray(out)[:n], np.asarray(intensity)[:n]
+
     def export_precompiled(self, bundle_dir: str,
                            batch_sizes=(48,), buckets=None,
                            queue_buckets=(16,), device_buckets=(16, 48),

@@ -164,3 +164,23 @@ def test_serving_autotuned_dispatch(experiment, rng):
     dehazer2 = AdaptiveDehazer.from_experiment(experiment, autotune=True)
     dehazer2.route_hard(images)
     assert all(r["cached"] for r in dehazer2.autotune_report.values())
+
+
+def test_serving_route_sharded(experiment, rng):
+    """Multi-chip serving from the product API: route_sharded over the
+    8-virtual-device data mesh matches host-binned hard routing, including
+    a ragged batch that pads up to the axis size."""
+    import jax
+
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # conftest forces the 8-device CPU mesh
+
+    # Ragged (6 -> padded to 8) and multi-bucket (16) batches.
+    for n in (6, 16):
+        images = rng.random((n, 32, 32, 3), dtype=np.float32)
+        want, i_want = dehazer.route_hard(images)
+        got, i_got = dehazer.route_sharded(images, chunk=2)
+        assert got.shape == images.shape
+        np.testing.assert_array_equal(i_got, i_want)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
