@@ -41,12 +41,44 @@ _CATEGORY_NAMES = {0: "low_intensity", 1: "medium_intensity", 2: "high_intensity
 
 def _load_joint(config):
     """Router + state with best joint checkpoint (falling back to the stage
-    checkpoints grafted by build_router_state)."""
-    router, state, _tx = build_router_state(config, jax.random.PRNGKey(0))
+    checkpoints grafted by build_router_state).
+
+    When the joint checkpoint exists the models are NEVER initialised on
+    device: the restore target comes from `jax.eval_shape` over the init
+    (abstract interpretation — no compile, no device work) and orbax
+    restores the checkpoint straight into it. On the remote-compiled TPU
+    runtime this removes minutes of init compiles from every serving/eval
+    cold start — the init values were discarded anyway."""
+    from adam_dehaze_tpu.models.branches import create_branch_models
+    from adam_dehaze_tpu.models.classifier import create_classifier
+    from adam_dehaze_tpu.models.routing import create_router
+    from adam_dehaze_tpu.training.state import TrainState
+    from adam_dehaze_tpu.training.train_joint import (
+        flax_to_mutable,
+        make_optimizer,
+    )
+
     best = ckpt.best_model_path(config["joint_training"]["checkpoint_dir"])
     if os.path.isdir(best):
+        router = create_router(create_branch_models(config),
+                               create_classifier(config), config)
+        img = config["dataset"]["img_size"]
+        tx = make_optimizer(config["joint_training"]["learning_rate"])
+
+        def _init():
+            variables = router.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0)},
+                jnp.zeros((1, img, img, 3), jnp.float32))
+            params = flax_to_mutable(variables["params"])
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                batch_stats=flax_to_mutable(variables["batch_stats"]),
+                opt_state=tx.init(params))
+
+        abstract = jax.eval_shape(_init)
         try:
-            tree, _ = ckpt.load_checkpoint(best, state_to_tree(state))
+            tree, _ = ckpt.load_checkpoint(best, state_to_tree(abstract))
         except ValueError as e:
             raise ValueError(
                 f"Joint checkpoint at {best} does not match the models built "
@@ -54,8 +86,10 @@ def _load_joint(config):
                 "different classifier/dehazing sizes. Pass the experiment's "
                 f"own config (experiments/<name>/config.yaml). [{e}]"
             ) from e
-        state = tree_to_state(state, tree)
+        state = tree_to_state(abstract, tree)
         print(f"Loaded joint checkpoint from {best}")
+        return router, state
+    router, state, _tx = build_router_state(config, jax.random.PRNGKey(0))
     return router, state
 
 

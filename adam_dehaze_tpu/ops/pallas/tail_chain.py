@@ -50,7 +50,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -679,12 +678,13 @@ def make_high_tail_chain(model, variables, dtype=jnp.bfloat16,
     # 1x1 guidance output conv, phase-expanded to the 12 blend lanes:
     # K[p*16 + ch, 3p + t] = w[ch] for t in 0..2
     kgo_s = s2d_conv_kernel(p["Conv_0"]["kernel"])           # (1, 1, 64, 4)
-    kgo_np = np.zeros((128, 128), np.float32)
-    kgo_blockdiag = np.asarray(kgo_s[0, 0], np.float32)      # (64, 4)
+    # jnp (not numpy) so the fold traces when weights arrive as jit
+    # arguments (weightless serving bundles, serving_export.py).
+    kgo_blockdiag = kgo_s[0, 0].astype(jnp.float32)          # (64, 4)
+    kgo = jnp.zeros((128, 128), jnp.float32)
     for pph in range(4):
         for t in range(3):
-            kgo_np[0:64, 3 * pph + t] = kgo_blockdiag[:, pph]
-    kgo = jnp.asarray(kgo_np)
+            kgo = kgo.at[0:64, 3 * pph + t].set(kgo_blockdiag[:, pph])
     tgo = p["Conv_0"]["bias"]                                # (1,)
 
     # shift table (9, c4) f32: [up, res_a, res_b, h1, h2(256-lane row,

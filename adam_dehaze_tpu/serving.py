@@ -51,11 +51,17 @@ class AdaptiveDehazer:
             try:
                 quant = self.config.get("tpu", {}).get("serving_quant") or None
                 manifest = read_manifest(precompiled) or {}
-                bundle_quant = manifest.get("extra", {}).get("quant")
+                extra = manifest.get("extra", {})
+                bundle_quant = extra.get("quant")
                 if bundle_quant != quant:
                     raise ValueError(
                         f"bundle quant={bundle_quant!r} != config "
                         f"quant={quant!r} (results would differ)")
+                if bool(extra.get("autotune", False)) != bool(autotune):
+                    raise ValueError(
+                        f"bundle autotune={extra.get('autotune')!r} != "
+                        f"requested autotune={autotune!r} (the tuned "
+                        "dispatch may differ from the exported programs)")
                 self._bundle_table = load_bundle_programs(precompiled)
             except (ValueError, OSError) as e:
                 warnings.warn(f"ignoring precompiled bundle {precompiled}: "
@@ -154,12 +160,102 @@ class AdaptiveDehazer:
             # Attach the precompiled bundle ONLY to the plain engine: the
             # lowres variants compute different math behind identical input
             # signatures, so a shape-match there would silently serve the
-            # full-resolution program.
+            # full-resolution program. Binds hand each weightless program
+            # its device-resident parameter subtree.
             if self._bundle_table and key == "binned":
                 from adam_dehaze_tpu.serving_export import attach_engine
-                attach_engine(engine, self._bundle_table)
+                binds = {"classify": (self._clf_sub(),),
+                         "logits": (self._clf_sub(),)}
+                for i, sub in enumerate(self._branch_subs()):
+                    binds[f"step{i}"] = (sub,)
+                    binds[f"branch{i}"] = (sub,)
+                attach_engine(engine, self._bundle_table, binds)
             self._engines[key] = engine
         return self._engines[key]
+
+    # --- parameter subtrees + weight-parameterized serving programs ------
+    # (serving_export.py bundles: executables take the parameter tree as
+    # their first argument so weights are never baked into the binary.)
+
+    def _clf_sub(self):
+        return {"params": self._variables["params"]["classifier"],
+                "batch_stats": self._variables["batch_stats"]["classifier"]}
+
+    def _branch_subs(self):
+        from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+        return [
+            {"params": self._variables["params"][f"models_{lvl}"],
+             "batch_stats": self._variables["batch_stats"][f"models_{lvl}"]}
+            for lvl in INTENSITY_ORDER]
+
+    def _serving_dtype(self):
+        return (jnp.bfloat16 if self.config.get("tpu", {}).get(
+            "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32)
+
+    def _param_programs(self):
+        """Weight-parameterized twins of the binned engine's programs:
+        fn(variables, ...) with the SAME serving-path dispatch as
+        `_branch_applies`/`_classifier_apply` (make_serving_apply /
+        make_classifier_serving_apply), so an exported program computes
+        exactly what the engine's jitted program computes — the weight
+        folds simply trace into the program instead of running on host."""
+        from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+        from adam_dehaze_tpu.ops.s2d import (
+            make_classifier_serving_apply,
+            make_serving_apply,
+        )
+        dtype = self._serving_dtype()
+        clf_mod = self.router.classifier
+        classify = jax.jit(lambda v, x: jnp.argmax(
+            make_classifier_serving_apply(clf_mod, v, dtype)(x)[0], axis=1))
+        logits = jax.jit(
+            lambda v, x: make_classifier_serving_apply(clf_mod, v, dtype)(x)[0])
+        steps, branches = [], []
+        for lvl in INTENSITY_ORDER:
+            mod = self.router.models[lvl]
+
+            def apply_v(v, xx, m=mod):
+                return make_serving_apply(m, v, dtype)(xx)
+
+            branches.append(jax.jit(apply_v))
+            steps.append(jax.jit(
+                lambda v, x, idx, out, a=apply_v:
+                    out.at[idx].set(a(v, jnp.take(x, idx, axis=0))),
+                donate_argnums=(3,)))
+        return classify, logits, steps, branches
+
+    def _device_bind(self):
+        from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
+        subs = self._branch_subs()
+        bind = {"classifier": self._clf_sub()}
+        bind.update({lvl: sub for lvl, sub in zip(INTENSITY_ORDER, subs)})
+        return bind
+
+    def _device_param_fn(self, chunk: int, spill: bool):
+        """Weight-parameterized device-binned program (see _param_programs)."""
+        from adam_dehaze_tpu.models.routing import (
+            INTENSITY_ORDER,
+            make_device_binned_infer,
+        )
+        from adam_dehaze_tpu.ops.s2d import (
+            make_classifier_serving_apply,
+            make_serving_apply,
+        )
+        dtype = self._serving_dtype()
+        clf_mod = self.router.classifier
+        models = [self.router.models[lvl] for lvl in INTENSITY_ORDER]
+
+        def fn(v, x):
+            clf = lambda xx: make_classifier_serving_apply(
+                clf_mod, v["classifier"], dtype)(xx)
+            applies = [
+                (lambda xx, m=m, lvl=lvl: make_serving_apply(m, v[lvl],
+                                                             dtype)(xx))
+                for m, lvl in zip(models, INTENSITY_ORDER)]
+            return make_device_binned_infer(clf, applies, chunk=chunk,
+                                            spill=spill)(x)
+
+        return jax.jit(fn)
 
     def _classifier_apply(self):
         sub = {"params": self._variables["params"]["classifier"],
@@ -237,7 +333,8 @@ class AdaptiveDehazer:
                 f"device{chunk}_{int(spill)}")
             if progs:
                 from adam_dehaze_tpu.serving_export import PrecompiledDispatch
-                fn = PrecompiledDispatch(fn, progs)
+                fn = PrecompiledDispatch(fn, progs,
+                                         bind=(self._device_bind(),))
             self._engines[key] = fn
         return self._engines[key]
 
@@ -340,37 +437,74 @@ class AdaptiveDehazer:
                            progress=None) -> dict:
         """Write a precompiled serving bundle (serving_export.py).
 
-        AOT-compiles the binned engine's programs (classifier, logits, the
-        fused gather->branch->scatter steps over the bucket ladder, the
-        plain branch applies at `queue_buckets`) plus the single-program
-        device-binned path at `device_buckets`, and serializes every
-        executable — weights included as baked constants — under
-        `bundle_dir`. One-time cost ≈ a full serving warmup; afterwards
-        `from_experiment(..., precompiled=bundle_dir)` reaches
-        first-batch-served without any XLA compile. The bundle is pinned to
-        (backend, device_kind, jax version).
+        AOT-compiles weight-parameterized twins of the binned engine's
+        programs (classifier, logits, the fused gather->branch->scatter
+        steps over the bucket ladder, the plain branch applies at
+        `queue_buckets`) plus the single-program device-binned path at
+        `device_buckets`, and serializes every executable under
+        `bundle_dir`. Weights are NOT baked in: programs take the
+        parameter tree as their first argument and the loader binds the
+        experiment's restored weights, so the bundle stays code-only
+        (MBs, not GBs) and uploads in seconds. One-time cost ≈ a full
+        serving warmup; afterwards `from_experiment(...,
+        precompiled=bundle_dir)` reaches first-batch-served without any
+        XLA compile. The bundle is pinned to (backend, device_kind, jax
+        version) and to the quant/autotune serving mode.
         """
         from adam_dehaze_tpu.serving_export import (
-            export_engine, export_program, set_manifest_extra)
+            export_program,
+            set_manifest_extra,
+        )
+        quant = self.config.get("tpu", {}).get("serving_quant") or None
+        if quant:
+            raise ValueError(
+                f"export_precompiled does not support serving_quant="
+                f"{quant!r}: exported programs are the default serving "
+                "applies")
         img = self.config["dataset"]["img_size"]
-        engine = self._binned_engine()
-        written = export_engine(
-            engine, bundle_dir, batch_sizes=batch_sizes, buckets=buckets,
-            queue_buckets=queue_buckets, img_hw=(img, img),
-            progress=progress)
+        engine = self._binned_engine()  # bucket ladder source
+        buckets = tuple(buckets if buckets is not None else engine.buckets)
+        classify, logits, steps, branches = self._param_programs()
+        clf_sub, subs = self._clf_sub(), self._branch_subs()
+        written = {}
+
+        def _note(msg):
+            if progress:
+                progress(msg)
+
+        for n in batch_sizes:
+            x = jnp.zeros((n, img, img, 3), jnp.float32)
+            for name, fn in (("classify", classify), ("logits", logits)):
+                _note(f"export {name} n={n}")
+                written[export_program(fn, (clf_sub, x), name, bundle_dir,
+                                       n_bound=1)] = name
+            for cls, step in enumerate(steps):
+                for b in buckets:
+                    if b > max(engine.buckets):
+                        continue
+                    idx = jnp.zeros((b,), jnp.int32)
+                    out = jnp.zeros((n, img, img, 3), jnp.float32)
+                    name = f"step{cls}"
+                    _note(f"export {name} n={n} b={b}")
+                    written[export_program(step, (subs[cls], x, idx, out),
+                                           name, bundle_dir,
+                                           n_bound=1)] = name
+        for cls, fn in enumerate(branches):
+            for b in queue_buckets:
+                xq = jnp.zeros((b, img, img, 3), jnp.float32)
+                name = f"branch{cls}"
+                _note(f"export {name} b={b}")
+                written[export_program(fn, (subs[cls], xq), name, bundle_dir,
+                                       n_bound=1)] = name
+        dev_bind = self._device_bind()
+        dev_fn = self._device_param_fn(device_chunk, device_spill)
         for b in dict.fromkeys(device_buckets):
-            fn = self._device_binned_fn(device_chunk, device_spill)
-            if getattr(fn, "precompiled", False):
-                fn = fn._fallback  # export from the jitted fn, not a loaded exec
             x = jnp.zeros((b, img, img, 3), jnp.float32)
             name = f"device{device_chunk}_{int(device_spill)}"
-            if progress:
-                progress(f"export {name} b={b}")
-            written[export_program(fn, (x,), name, bundle_dir)] = name
-        set_manifest_extra(
-            bundle_dir,
-            quant=self.config.get("tpu", {}).get("serving_quant") or None,
-            autotune=self._autotune)
+            _note(f"export {name} b={b}")
+            written[export_program(dev_fn, (dev_bind, x), name, bundle_dir,
+                                   n_bound=1)] = name
+        set_manifest_extra(bundle_dir, quant=quant, autotune=self._autotune)
         return written
 
     def classify(self, images) -> np.ndarray:

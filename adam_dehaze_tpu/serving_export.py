@@ -8,9 +8,7 @@ CLAUDE.md) and a fresh `AdaptiveDehazer` pays minutes of compiles before
 the first image is served. A precompiled bundle moves that cost to a
 one-time export step: `deserialize_and_load` hands the PJRT runtime an
 already-compiled executable, so a cold process reaches first-batch-served
-in load time (seconds) instead of compile time (minutes). Weights ride
-along inside the executables (the serving applies close over them as
-constants), so a bundle is a self-contained deployment artifact.
+in load time (seconds) instead of compile time (minutes).
 
     d = AdaptiveDehazer.from_experiment("experiments/x")
     d.export_precompiled("experiments/x/precompiled")   # one-time, slow
@@ -19,14 +17,26 @@ constants), so a bundle is a self-contained deployment artifact.
                                          precompiled="experiments/x/precompiled")
     out, cls = d2.route_hard(images)                    # no compiles
 
+Weights are NOT baked into the executables. The first design closed the
+serving applies over their parameters, so AOT lowering embedded the weight
+tensors as constants in EVERY program — a 3.3 GB bundle for the trained
+system (the high branch duplicated across all 6 bucket programs) whose
+device upload cost ~340 s at first execution, eating the compile win.
+Exported programs instead take the parameter tree as their FIRST argument
+(`n_bound=1`): executables are code-only (KBs-MBs), and at attach time the
+dispatcher binds the experiment's already-restored, device-resident
+weights. `bound_sig` (a hash of the bound tree's avals) is checked at
+attach so a bundle never silently runs with a mismatched tree.
+
 Scope and honesty:
-- A bundle is pinned to (backend, device_kind, jax version). `attach_bundle`
+- A bundle is pinned to (backend, device_kind, jax version). Loading
   refuses a mismatched bundle and the engine falls back to normal jit —
-  loading a v5e bundle on a v6e never silently serves stale code (same rule
-  as serving_autotune's cache key).
-- Programs are keyed by exact input avals (shape + dtype). Shapes outside
-  the exported set fall back to jit per program (PrecompiledDispatch), so a
-  partial bundle degrades to the status quo, never to an error.
+  a v5e bundle on a v6e never silently serves stale code (same rule as
+  serving_autotune's cache key).
+- Programs are keyed by exact unbound input avals (shape + dtype). Shapes
+  outside the exported set fall back to jit per program
+  (PrecompiledDispatch), so a partial bundle degrades to the status quo,
+  never to an error.
 - Bundle files are pickles of XLA executables: like torch checkpoints they
   are code-equivalent artifacts — load bundles you produced yourself.
 
@@ -35,6 +45,7 @@ The reference has no counterpart (its TorchScript/export story is absent;
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import pickle
@@ -44,7 +55,7 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-BUNDLE_VERSION = 1
+BUNDLE_VERSION = 2
 MANIFEST = "MANIFEST.json"
 
 
@@ -65,7 +76,10 @@ def _sig_of_args(args) -> str:
     for a in leaves:
         a = jnp.asarray(a)
         parts.append(f"{a.dtype.name}{'x'.join(str(int(s)) for s in a.shape)}")
-    return "-".join(parts)
+    sig = "-".join(parts)
+    if len(sig) > 96:  # param trees: hundreds of leaves -> hash
+        return "h" + hashlib.sha1(sig.encode()).hexdigest()[:20]
+    return sig
 
 
 def _fname(name: str, sig: str) -> str:
@@ -73,16 +87,21 @@ def _fname(name: str, sig: str) -> str:
 
 
 def export_program(jitted_fn: Callable, args: Tuple, name: str,
-                   bundle_dir: str) -> str:
+                   bundle_dir: str, n_bound: int = 0) -> str:
     """AOT-compile `jitted_fn` at `args` and serialize the executable.
 
     `jitted_fn` must be a jax.jit-wrapped callable (supports .lower).
+    The first `n_bound` args are BIND-time inputs (e.g. the parameter
+    tree): they are part of the compiled program's signature but not of
+    the dispatch key — at load, `PrecompiledDispatch` binds concrete
+    values for them and dispatches on the remaining args only.
     Returns the written filename. Overwrites an existing export of the
     same (name, signature).
     """
     from jax.experimental import serialize_executable as se
     os.makedirs(bundle_dir, exist_ok=True)
-    sig = _sig_of_args(args)
+    sig = _sig_of_args(args[n_bound:])
+    bound_sig = _sig_of_args(args[:n_bound]) if n_bound else ""
     compiled = jitted_fn.lower(*args).compile()
     payload = se.serialize(compiled)
     # Record how many devices the executable spans: deserialize_and_load
@@ -93,6 +112,7 @@ def export_program(jitted_fn: Callable, args: Tuple, name: str,
         devs.update(getattr(s, "device_set", ()))
     fname = _fname(name, sig)
     record = {"meta": _env_meta(), "name": name, "sig": sig,
+              "n_bound": n_bound, "bound_sig": bound_sig,
               "num_devices": max(1, len(devs)), "payload": payload}
     tmp = os.path.join(bundle_dir, fname + ".tmp")
     with open(tmp, "wb") as f:
@@ -154,8 +174,20 @@ def bundle_compatible(bundle_dir: str) -> Tuple[bool, str]:
     return True, "ok"
 
 
+class LoadedProgram:
+    """A deserialized executable plus its bind contract."""
+
+    def __init__(self, loaded: Callable, n_bound: int, bound_sig: str):
+        self._loaded = loaded
+        self.n_bound = n_bound
+        self.bound_sig = bound_sig
+
+    def __call__(self, *args):
+        return self._loaded(*args)
+
+
 def load_bundle_programs(bundle_dir: str) -> Dict[str, Dict[str, Callable]]:
-    """Load every compatible program: {name: {sig: loaded_callable}}.
+    """Load every compatible program: {name: {sig: LoadedProgram}}.
 
     Individual files that fail to deserialize are skipped with a warning
     (the dispatcher's jit fallback covers them).
@@ -175,7 +207,9 @@ def load_bundle_programs(bundle_dir: str) -> Dict[str, Dict[str, Callable]]:
             loaded = se.deserialize_and_load(
                 *record["payload"],
                 execution_devices=jax.devices()[:n_dev])
-            table.setdefault(record["name"], {})[record["sig"]] = loaded
+            table.setdefault(record["name"], {})[record["sig"]] = (
+                LoadedProgram(loaded, record.get("n_bound", 0),
+                              record.get("bound_sig", "")))
         except Exception as e:  # missing/corrupt file, PJRT refusal
             warnings.warn(f"skipping precompiled program {fname}: "
                           f"{type(e).__name__}: {e}")
@@ -185,16 +219,31 @@ def load_bundle_programs(bundle_dir: str) -> Dict[str, Dict[str, Callable]]:
 class PrecompiledDispatch:
     """Shape-dispatching callable over loaded executables with jit fallback.
 
-    Calls whose arg signature matches an exported program run the loaded
-    executable (no trace, no compile); any other signature falls through to
-    the original jitted function. `hits`/`misses` counters make the
-    no-compile property assertable in tests.
+    Calls whose UNBOUND arg signature matches an exported program run the
+    loaded executable (no trace, no compile), with `bind` (e.g. the
+    device-resident parameter tree) prepended; any other signature falls
+    through to the original jitted function. `hits`/`misses` counters make
+    the no-compile property assertable in tests.
     """
     precompiled = True
 
-    def __init__(self, fallback: Callable, programs: Dict[str, Callable]):
+    def __init__(self, fallback: Callable, programs: Dict[str, Callable],
+                 bind: Tuple = ()):
         self._fallback = fallback
-        self._programs = programs
+        self._bind = tuple(bind)
+        bind_sig = _sig_of_args(self._bind) if self._bind else ""
+        self._programs = {}
+        for sig, prog in programs.items():
+            want = getattr(prog, "bound_sig", "") or ""
+            n_bound = getattr(prog, "n_bound", 0)
+            if n_bound and (len(self._bind) != n_bound
+                            or want != bind_sig):
+                warnings.warn(
+                    f"precompiled program {sig}: bound-arg signature "
+                    f"mismatch (bundle {want!r} vs runtime {bind_sig!r}) — "
+                    "falling back to jit for this program")
+                continue
+            self._programs[sig] = prog
         self.hits = 0
         self.misses = 0
 
@@ -202,89 +251,43 @@ class PrecompiledDispatch:
         fn = self._programs.get(_sig_of_args(args))
         if fn is not None:
             self.hits += 1
+            if getattr(fn, "n_bound", 0):
+                return fn(*self._bind, *args)
             return fn(*args)
         self.misses += 1
         return self._fallback(*args)
 
 
-def export_engine(engine, bundle_dir: str, batch_sizes: Sequence[int],
-                  buckets: Optional[Sequence[int]] = None,
-                  queue_buckets: Sequence[int] = (),
-                  img_hw: Optional[Tuple[int, int]] = None,
-                  dtype=jnp.float32, progress: Optional[Callable] = None,
-                  ) -> Dict[str, str]:
-    """Export a BinnedAdaptiveEngine's serving programs.
-
-    Programs written (names are the engine attributes they accelerate):
-    - `classify` / `logits` at each batch size in `batch_sizes`.
-    - `step{cls}` (fused gather->branch->scatter, donated out) at every
-      (batch_size, bucket) pair, bucket defaulting to the engine ladder.
-    - `branch{cls}` plain applies at each size in `queue_buckets` (the
-      run_queued dispatch shapes).
-
-    img_hw defaults to 256x256. Returns {program_filename: name}.
-    """
-    h, w = img_hw or (256, 256)
-    buckets = tuple(buckets if buckets is not None else engine.buckets)
-    written: Dict[str, str] = {}
-
-    def _jitted(fn):
-        # Engines already attached to a bundle hold dispatchers; export from
-        # their jit fallback (loaded executables can't be re-lowered).
-        return fn._fallback if isinstance(fn, PrecompiledDispatch) else fn
-
-    def _note(msg):
-        if progress:
-            progress(msg)
-
-    for n in batch_sizes:
-        x = jnp.zeros((n, h, w, 3), dtype)
-        for name, fn in (("classify", _jitted(engine._classify)),
-                         ("logits", _jitted(engine._logits))):
-            _note(f"export {name} n={n}")
-            written[export_program(fn, (x,), name, bundle_dir)] = name
-        for cls, step in enumerate(engine._bucket_steps):
-            for b in buckets:
-                if b > max(engine.buckets):
-                    continue
-                idx = jnp.zeros((b,), jnp.int32)
-                out = jnp.zeros((n, h, w, 3), dtype)
-                name = f"step{cls}"
-                _note(f"export {name} n={n} b={b}")
-                written[export_program(_jitted(step), (x, idx, out), name,
-                                       bundle_dir)] = name
-    for cls, apply_fn in enumerate(engine.branch_applies):
-        for b in queue_buckets:
-            xq = jnp.zeros((b, h, w, 3), dtype)
-            name = f"branch{cls}"
-            _note(f"export {name} b={b}")
-            written[export_program(_jitted(apply_fn), (xq,), name,
-                                   bundle_dir)] = name
-    return written
-
-
-def attach_engine(engine, table: Dict[str, Dict[str, Callable]]) -> int:
+def attach_engine(engine, table: Dict[str, Dict[str, Callable]],
+                  binds: Optional[Dict[str, Tuple]] = None) -> int:
     """Swap an engine's jitted programs for bundle-backed dispatchers.
 
+    binds: {program_name: bind_tuple} — the values prepended to every
+    loaded-executable call of that program (the parameter trees for
+    weightless n_bound=1 programs; omit/empty for weight-baked programs).
     Unmatched shapes still reach the original jitted fns (fallback inside
     PrecompiledDispatch). Returns the number of attached executables.
     """
+    binds = binds or {}
     attached = 0
     for name, attr in (("classify", "_classify"), ("logits", "_logits")):
         progs = table.get(name)
         if progs:
-            setattr(engine, attr,
-                    PrecompiledDispatch(getattr(engine, attr), progs))
-            attached += len(progs)
+            d = PrecompiledDispatch(getattr(engine, attr), progs,
+                                    bind=binds.get(name, ()))
+            setattr(engine, attr, d)
+            attached += len(d._programs)
     for cls in range(len(engine._bucket_steps)):
         progs = table.get(f"step{cls}")
         if progs:
-            engine._bucket_steps[cls] = PrecompiledDispatch(
-                engine._bucket_steps[cls], progs)
-            attached += len(progs)
+            d = PrecompiledDispatch(engine._bucket_steps[cls], progs,
+                                    bind=binds.get(f"step{cls}", ()))
+            engine._bucket_steps[cls] = d
+            attached += len(d._programs)
         progs = table.get(f"branch{cls}")
         if progs:
-            engine.branch_applies[cls] = PrecompiledDispatch(
-                engine.branch_applies[cls], progs)
-            attached += len(progs)
+            d = PrecompiledDispatch(engine.branch_applies[cls], progs,
+                                    bind=binds.get(f"branch{cls}", ()))
+            engine.branch_applies[cls] = d
+            attached += len(d._programs)
     return attached

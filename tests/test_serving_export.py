@@ -11,9 +11,7 @@ import pytest
 from adam_dehaze_tpu.serving_export import (
     MANIFEST,
     PrecompiledDispatch,
-    attach_engine,
     bundle_compatible,
-    export_engine,
     export_program,
     load_bundle_programs,
     read_manifest,
@@ -60,6 +58,40 @@ def test_dispatch_hits_and_fallback(tmp_path, rng):
     assert (d.hits, d.misses) == (1, 0)
     np.testing.assert_allclose(np.asarray(d(x3)), x3 * 2, atol=1e-7)
     assert (d.hits, d.misses) == (1, 1)
+
+
+def test_bound_program_roundtrip(tmp_path, rng):
+    """n_bound=1: weights ride as a bound argument, not baked constants —
+    the dispatcher prepends the bound tree, refuses a mismatched one."""
+    v = {"w": jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32)),
+         "b": jnp.asarray(rng.standard_normal((8,)).astype(np.float32))}
+
+    @jax.jit
+    def fn(v, x):
+        return jax.nn.relu(x @ v["w"] + v["b"])
+
+    x = rng.random((4, 8), dtype=np.float32)
+    export_program(fn, (v, x), "lin", str(tmp_path), n_bound=1)
+    table = load_bundle_programs(str(tmp_path))
+    (prog,) = table["lin"].values()
+    assert prog.n_bound == 1 and prog.bound_sig
+
+    d = PrecompiledDispatch(lambda xx: fn(v, xx), table["lin"], bind=(v,))
+    np.testing.assert_allclose(np.asarray(d(x)), np.asarray(fn(v, x)),
+                               atol=1e-6)
+    assert (d.hits, d.misses) == (1, 0)
+    # DIFFERENT weights bound -> different results through the same program.
+    v2 = jax.tree_util.tree_map(lambda a: a * 2.0, v)
+    d2 = PrecompiledDispatch(lambda xx: fn(v2, xx), table["lin"], bind=(v2,))
+    np.testing.assert_allclose(np.asarray(d2(x)), np.asarray(fn(v2, x)),
+                               atol=1e-6)
+    # MISMATCHED bound avals -> program dropped at attach, jit fallback.
+    v_bad = {"w": v["w"], "b": jnp.zeros((4,), jnp.float32)}
+    with pytest.warns(UserWarning, match="bound-arg signature"):
+        d3 = PrecompiledDispatch(lambda xx: xx * 0.0, table["lin"],
+                                 bind=(v_bad,))
+    assert not d3._programs
+    assert float(np.abs(d3(x)).max()) == 0.0 and d3.misses == 1
 
 
 def test_incompatible_bundle_refused(tmp_path, rng):
@@ -132,6 +164,10 @@ def test_bundle_serves_identically(experiment, rng):
         bundle, batch_sizes=(4,), buckets=(1, 2, 4), queue_buckets=(4,),
         device_buckets=(4,), device_chunk=2)
     assert len(written) >= 3 * 3 + 2 + 3 + 1  # steps + clf/logits + branches + device
+    # Weightless: the whole bundle must be code-only (MBs, not the models).
+    total = sum(os.path.getsize(os.path.join(bundle, f))
+                for f in os.listdir(bundle))
+    assert total < 50e6, f"bundle unexpectedly large: {total/1e6:.1f} MB"
 
     d = AdaptiveDehazer.from_experiment(experiment, precompiled="auto")
     assert d._bundle_table, "bundle must load on the same backend"
