@@ -76,7 +76,14 @@ def _load_joint(config):
                 batch_stats=flax_to_mutable(variables["batch_stats"]),
                 opt_state=tx.init(params))
 
-        abstract = jax.eval_shape(_init)
+        # eval_shape leaves carry no sharding; orbax requires a concrete one
+        # to deserialize ("sharding ... Got None"). Pin the local default
+        # device — also what makes a TPU-saved checkpoint restore on CPU.
+        dev_sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                           sharding=dev_sharding),
+            jax.eval_shape(_init))
         try:
             tree, _ = ckpt.load_checkpoint(best, state_to_tree(abstract))
         except ValueError as e:

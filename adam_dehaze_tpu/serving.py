@@ -103,6 +103,31 @@ class AdaptiveDehazer:
         dehazed, _ = self._soft(jnp.asarray(images))
         return np.asarray(dehazed)
 
+    @staticmethod
+    def _lazy(build):
+        """Defer a serving-apply construction to its first call: the
+        weight folds inside make_serving_apply run eager device ops
+        (measured ~68 s at engine build through the remote tunnel), and a
+        bundle-backed engine never traces its jit fallbacks unless a
+        shape misses — so the folds should only ever run when a program
+        actually needs them.
+
+        The first call may arrive inside a jit trace (the engines trace
+        these fns into their dispatch programs); under omnistaging the
+        fold ops would then be staged onto THAT trace and the cached
+        closure would leak its tracers into every later program.
+        ensure_compile_time_eval forces the build's ops to execute
+        eagerly to concrete arrays wherever it runs."""
+        cell = []
+
+        def fn(*args):
+            if not cell:
+                with jax.ensure_compile_time_eval():
+                    cell.append(build())
+            return cell[0](*args)
+
+        return fn
+
     def _branch_applies(self, lowres=(), lowres_scale: int = 2,
                         lowres_mode: str = "guided"):
         """Per-branch serving applies in INTENSITY_ORDER.
@@ -132,8 +157,10 @@ class AdaptiveDehazer:
                 fns.append(fn)
                 continue
             # Lane-aligned s2d serving path for the small-channel low branch
-            # (exact; ops/s2d.py), canonical apply otherwise.
-            fn = make_serving_apply(module, sub, dtype=dtype)
+            # (exact; ops/s2d.py), canonical apply otherwise. Construction
+            # (weight folds) is deferred to first call — see _lazy.
+            fn = self._lazy(
+                lambda m=module, v=sub: make_serving_apply(m, v, dtype=dtype))
             if quant == "int8":
                 from adam_dehaze_tpu.ops.quant import quantize_apply
                 fn = (lambda x, m=module, v=sub: m.apply(v, x))
@@ -267,7 +294,8 @@ class AdaptiveDehazer:
         from adam_dehaze_tpu.ops.s2d import make_classifier_serving_apply
         dtype = (jnp.bfloat16 if self.config.get("tpu", {}).get(
             "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32)
-        return make_classifier_serving_apply(clf, sub, dtype=dtype)
+        return self._lazy(
+            lambda: make_classifier_serving_apply(clf, sub, dtype=dtype))
 
     def route_hard(self, images, spill: bool = False,
                    lowres=()) -> Tuple[np.ndarray, np.ndarray]:

@@ -355,6 +355,28 @@ def main():
             result["skewed_all_high_ms_per_image"] = round(
                 per_iter_skew / BATCH * 1000.0, 4)
 
+        # Resolution-scheduled serving (ops/resolution.py): medium+high run
+        # at half resolution, their residual corrections lifted back by an
+        # on-device guided filter. Cost row here; the quality side is
+        # measured on the trained system in benchmarks/round_results/
+        # resolution_scheduling.json (tools/probe_lowres.py — medhigh
+        # guided r4 scored ABOVE full-res on the v2 corpus).
+        try:
+            if not _budget_ok("lowres"):
+                raise RuntimeError("budget")
+            from adam_dehaze_tpu.ops.resolution import make_lowres_apply
+            lowres_applies = [branch_applies[0]] + [
+                jax.jit(make_lowres_apply(f)) for f in serving_applies[1:]]
+            engine_lr = BinnedAdaptiveEngine(classifier_apply, lowres_applies,
+                                             buckets=(bucket,))
+            per_iter_lr = _time(lambda: engine_lr(x, intensity=balanced)[0],
+                                iters=max(ITERS // 3, 5))
+            result["lowres_medhigh_ms_per_image"] = round(
+                per_iter_lr / BATCH * 1000.0, 4)
+        except Exception as e:
+            print(f"lowres variant skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
         # Non-oracle routing: classifier argmax decides the bins (random-
         # weight classifier => arbitrary skew incl. bucket padding waste).
         if _budget_ok("predicted_routing"):

@@ -42,6 +42,38 @@ def experiment(tmp_path_factory):
     return exp_dir
 
 
+def test_lazy_build_inside_trace():
+    """AdaptiveDehazer._lazy defers serving-apply construction to first
+    call; that first call may land INSIDE a jit trace (the engines trace
+    branch fns into their dispatch programs). The built closure's constants
+    must come out concrete — not tracers of the enclosing trace — so that
+    every LATER program can reuse the cached closure (the plain cold-start
+    path died with UnexpectedTracerError before ensure_compile_time_eval
+    was added; logs/cold_start_r3b.log)."""
+    import jax
+    import jax.numpy as jnp
+
+    built = []
+
+    def build():
+        # Stands in for the weight folds in make_serving_apply: jnp ops on
+        # concrete arrays producing closure constants.
+        k = jnp.arange(12.0, dtype=jnp.float32).reshape(4, 3)
+        k2 = (k * 2.0).astype(jnp.bfloat16)
+        built.append(k2)
+        return lambda x: x @ k2.astype(x.dtype)
+
+    fn = AdaptiveDehazer._lazy(build)
+    x = np.ones((2, 4), np.float32)
+    first = jax.jit(fn)(x)                      # build fires inside a trace
+    assert isinstance(built[0], jax.Array) and not isinstance(
+        built[0], jax.core.Tracer)
+    second = jax.jit(lambda y: fn(y) + 1.0)(x)  # a DIFFERENT program reuses it
+    np.testing.assert_allclose(np.asarray(second),
+                               np.asarray(first) + 1.0, rtol=1e-2)
+    assert len(built) == 1  # built exactly once
+
+
 def test_serving_roundtrip(experiment, rng):
     dehazer = AdaptiveDehazer.from_experiment(experiment)
     images = rng.random((4, 32, 32, 3), dtype=np.float32)
