@@ -70,12 +70,23 @@ def _env_meta() -> Dict[str, str]:
 
 
 def _sig_of_args(args) -> str:
-    """Filename-safe aval signature of a flat arg tuple."""
+    """Filename-safe aval signature of a flat arg tuple.
+
+    Runs on every PrecompiledDispatch call, so it must read dtype/shape
+    without materializing: jnp.asarray on a host numpy batch would pay a
+    full host->device transfer just to compute the dispatch key."""
     leaves = jax.tree_util.tree_leaves(args)
     parts = []
     for a in leaves:
-        a = jnp.asarray(a)
-        parts.append(f"{a.dtype.name}{'x'.join(str(int(s)) for s in a.shape)}")
+        dt, shp = getattr(a, "dtype", None), getattr(a, "shape", None)
+        if dt is None or shp is None:  # python scalar / list leaf
+            a = jnp.asarray(a)
+            dt, shp = a.dtype, a.shape
+        # canonicalize like jnp.asarray would (f64 host batch -> the f32
+        # executable's key) so the key matches what tracing will see
+        dt = jax.dtypes.canonicalize_dtype(jnp.dtype(dt))
+        parts.append(
+            f"{dt.name}{'x'.join(str(int(s)) for s in shp)}")
     sig = "-".join(parts)
     if len(sig) > 96:  # param trees: hundreds of leaves -> hash
         return "h" + hashlib.sha1(sig.encode()).hexdigest()[:20]
