@@ -81,13 +81,25 @@ def parse_args(argv=None):
                    help="serve hard/spill/stream: comma-separated branch "
                         "levels (low,medium,high) to run at half resolution "
                         "with a guided-filter lift of the correction "
-                        "(ops/resolution.py quality/latency dial)")
+                        "(ops/resolution.py quality/latency dial), or "
+                        "'auto' to use the experiment's tuned policy "
+                        "(tools/autotune_resolution.py)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    config = load_config(args.config)
+    cfg_path = args.config
+    if cfg_path is None and args.experiment_dir:
+        # Consuming an existing experiment without an explicit --config:
+        # prefer the experiment's OWN config (model architecture must match
+        # its checkpoints — the default config silently builds default-sized
+        # models and the restore shape-mismatches). Mirrors
+        # AdaptiveDehazer.from_experiment.
+        cand = os.path.join(args.experiment_dir, "config.yaml")
+        if os.path.exists(cand):
+            cfg_path = cand
+    config = load_config(cfg_path)
     config = apply_cli_overrides(config, args)
 
     # Honor `device: cpu` (config or --device) for the JAX platform. The
@@ -304,7 +316,9 @@ def run_serve(config, exp_dir: str, args):
 
     router, state = _load_joint(config)
     dehazer = AdaptiveDehazer(router, state, config,
-                              precompiled=_resolve_bundle(args, exp_dir))
+                              precompiled=_resolve_bundle(args, exp_dir),
+                              resolution_policy=os.path.join(
+                                  exp_dir, "resolution_policy.json"))
 
     def batches():
         for i in range(0, len(files), batch):
@@ -312,11 +326,18 @@ def run_serve(config, exp_dir: str, args):
                 [_imread_rgb(f, img_size) for f in files[i:i + batch]]))
 
     mode = args.serve_mode
-    lowres = tuple(s for s in getattr(args, "lowres", "").split(",") if s)
-    bad = set(lowres) - set(INTENSITY_ORDER)
-    if bad:
-        raise SystemExit(f"serve: unknown --lowres levels {sorted(bad)} "
-                         f"(choose from {list(INTENSITY_ORDER)})")
+    lowres_arg = getattr(args, "lowres", "")
+    if lowres_arg == "auto":
+        # tuned per-branch policy (tools/autotune_resolution.py); loud when
+        # the experiment has no policy file.
+        lowres = "auto"
+    else:
+        lowres = tuple(s for s in lowres_arg.split(",") if s)
+        bad = set(lowres) - set(INTENSITY_ORDER)
+        if bad:
+            raise SystemExit(f"serve: unknown --lowres levels {sorted(bad)} "
+                             f"(choose from {list(INTENSITY_ORDER)} or "
+                             "'auto')")
     if lowres and mode not in ("hard", "spill", "stream"):
         raise SystemExit("serve: --lowres applies to hard/spill/stream modes")
     results = {}  # global index -> (dehazed HWC float, intensity or None)
@@ -359,7 +380,8 @@ def run_serve(config, exp_dir: str, args):
     if getattr(args, "detect", False):
         _serve_detect(config, files, results, out_dir, batch)
     with open(os.path.join(out_dir, "routing.json"), "w") as f:
-        json.dump({"serve_mode": mode, "lowres": list(lowres),
+        json.dump({"serve_mode": mode,
+                   "lowres": ("auto" if lowres == "auto" else list(lowres)),
                    "images": manifest}, f, indent=2)
 
     hist = {}

@@ -28,7 +28,8 @@ from adam_dehaze_tpu.config import load_config, update_checkpoint_paths
 class AdaptiveDehazer:
     def __init__(self, router, state, config, autotune: bool = False,
                  autotune_cache: Optional[str] = None,
-                 precompiled: Optional[str] = None):
+                 precompiled: Optional[str] = None,
+                 resolution_policy: Optional[str] = None):
         self.router = router
         self.config = config
         self._variables = {"params": state.params,
@@ -38,6 +39,9 @@ class AdaptiveDehazer:
         self._engines: Dict[str, object] = {}
         self._autotune = autotune
         self._autotune_cache = autotune_cache
+        # Tuned per-branch resolution policy (resolution_autotune.py);
+        # consumed by lowres="auto" in route_hard/route_hard_stream.
+        self._resolution_policy_path = resolution_policy
         self.autotune_report: Dict[str, dict] = {}
         # Precompiled serving bundle (serving_export.py): loaded executables
         # keyed by program name + input signature; attached to the plain
@@ -96,7 +100,9 @@ class AdaptiveDehazer:
         return cls(router, state, config, autotune=autotune,
                    autotune_cache=os.path.join(experiment_dir,
                                                "serving_autotune.json"),
-                   precompiled=precompiled)
+                   precompiled=precompiled,
+                   resolution_policy=os.path.join(experiment_dir,
+                                                  "resolution_policy.json"))
 
     def __call__(self, images) -> np.ndarray:
         """Soft-routed dehazing: (N, H, W, 3) float [0,1] -> same."""
@@ -128,6 +134,44 @@ class AdaptiveDehazer:
 
         return fn
 
+    @staticmethod
+    def _norm_lowres(lowres, lowres_scale: int = 2,
+                     lowres_mode: str = "guided") -> Dict[str, dict]:
+        """Normalise the `lowres` argument to {level: {scale, mode, radius}}.
+
+        Accepts a tuple/list of level names (uniform scale/mode, the original
+        dial form) or a dict of per-level params (the tuned-policy form,
+        resolution_autotune.policy_to_lowres)."""
+        if not lowres:
+            return {}
+        if isinstance(lowres, dict):
+            return {lvl: {"scale": int(p.get("scale", 2)),
+                          "mode": p.get("mode", "guided"),
+                          "radius": int(p.get("radius", 4))}
+                    for lvl, p in lowres.items()}
+        return {lvl: {"scale": lowres_scale, "mode": lowres_mode, "radius": 4}
+                for lvl in lowres}
+
+    def _resolution_policy_lowres(self) -> Dict[str, dict]:
+        """lowres='auto': per-level params from the experiment's tuned
+        resolution policy (resolution_autotune.py). Loud when absent — a
+        silent fallback to full resolution would misreport the serving mode
+        the caller asked for."""
+        from adam_dehaze_tpu.resolution_autotune import (
+            load_policy,
+            policy_to_lowres,
+        )
+        if not self._resolution_policy_path:
+            raise ValueError(
+                "lowres='auto' needs an experiment-backed dehazer "
+                "(from_experiment) with a tuned resolution policy")
+        policy = load_policy(self._resolution_policy_path)
+        if policy is None:
+            raise FileNotFoundError(
+                f"no resolution policy at {self._resolution_policy_path}; "
+                "run tools/autotune_resolution.py --experiment <dir> first")
+        return policy_to_lowres(policy)
+
     def _branch_applies(self, lowres=(), lowres_scale: int = 2,
                         lowres_mode: str = "guided"):
         """Per-branch serving applies in INTENSITY_ORDER.
@@ -135,7 +179,9 @@ class AdaptiveDehazer:
         lowres: level names served at 1/lowres_scale resolution with a
         guided-filter lift of the correction back to full res
         (ops/resolution.py) — an opt-in quality/latency dial for the
-        expensive branches, NOT an equivalence-preserving path."""
+        expensive branches, NOT an equivalence-preserving path. A dict
+        {level: {scale, mode, radius}} gives per-level params (the tuned
+        policy form)."""
         from adam_dehaze_tpu.models.routing import INTENSITY_ORDER
         from adam_dehaze_tpu.ops.s2d import make_serving_apply
         quant = self.config.get("tpu", {}).get("serving_quant") or None
@@ -166,18 +212,20 @@ class AdaptiveDehazer:
                 fn = (lambda x, m=module, v=sub: m.apply(v, x))
                 fn = quantize_apply(fn)
             fns.append(fn)
+        lowres = self._norm_lowres(lowres, lowres_scale, lowres_mode)
         if lowres:
             from adam_dehaze_tpu.ops.resolution import make_lowres_apply
-            fns = [make_lowres_apply(fn, scale=lowres_scale, mode=lowres_mode)
+            fns = [make_lowres_apply(fn, **lowres[level])
                    if level in lowres else fn
                    for level, fn in zip(INTENSITY_ORDER, fns)]
         return fns
 
     def _binned_engine(self, lowres=(), lowres_scale: int = 2,
                        lowres_mode: str = "guided"):
-        lowres = tuple(sorted(lowres))
-        key = ("binned" if not lowres else
-               f"binned_lowres_{'-'.join(lowres)}_{lowres_scale}_{lowres_mode}")
+        lowres = self._norm_lowres(lowres, lowres_scale, lowres_mode)
+        key = ("binned" if not lowres else "binned_lowres_" + "_".join(
+            f"{lvl}-{p['scale']}-{p['mode']}-{p['radius']}"
+            for lvl, p in sorted(lowres.items())))
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
             engine = BinnedAdaptiveEngine(
@@ -307,7 +355,11 @@ class AdaptiveDehazer:
         lowres=("high",) serves those branches at half resolution with a
         guided-filter lift of the correction (ops/resolution.py) — a
         quality/latency dial; see round_results/resolution_scheduling.json
-        for the measured trade."""
+        for the measured trade. lowres="auto" consumes the experiment's
+        TUNED policy (resolution_autotune.py: per-branch {full, lowres}
+        chosen by measured PSNR against a floor on a held-out probe set)."""
+        if isinstance(lowres, str) and lowres == "auto":
+            lowres = self._resolution_policy_lowres()
         engine = self._binned_engine(lowres=lowres)
         out, intensity = engine(jnp.asarray(images), spill=spill)
         return np.asarray(out), np.asarray(intensity)
@@ -316,7 +368,10 @@ class AdaptiveDehazer:
         """Steady-state pipelined serving over an iterable of batches: the
         classifier of batch k+1 overlaps batch k's host binning round-trip
         (models/routing.py:BinnedAdaptiveEngine.run_stream). Yields
-        (dehazed np.ndarray, intensity np.ndarray)."""
+        (dehazed np.ndarray, intensity np.ndarray). lowres="auto" consumes
+        the experiment's tuned resolution policy (see route_hard)."""
+        if isinstance(lowres, str) and lowres == "auto":
+            lowres = self._resolution_policy_lowres()
         for out, intensity in self._binned_engine(lowres=lowres).run_stream(
                 batches, spill=spill):
             yield np.asarray(out), np.asarray(intensity)

@@ -377,6 +377,64 @@ def main():
             print(f"lowres variant skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
+        # Quality-GUARDED resolution dispatch (resolution_autotune.py): the
+        # per-branch {full, lowres} policy tuned on the trained experiment's
+        # held-out val probe with a PSNR floor (tools/autotune_resolution.py
+        # writes it; quality evidence lives in round_results/
+        # resolution_policy_r3.json). Like the serving-autotune cache, the
+        # DECISION comes from trained weights while the cost transfers to
+        # bench's parity models (cost depends only on shapes).
+        try:
+            if not _budget_ok("guarded_lowres"):
+                raise RuntimeError("budget")
+            from adam_dehaze_tpu.resolution_autotune import (
+                load_policy,
+                policy_to_lowres,
+            )
+            pol_path = os.environ.get(
+                "BENCH_RESOLUTION_POLICY",
+                "experiments/full_system_r3/resolution_policy.json")
+            policy = load_policy(pol_path)
+            if policy is not None:
+                lowres = policy_to_lowres(policy)
+                result["resolution_policy"] = {
+                    lvl: policy["levels"][lvl].get("choice", "full")
+                    for lvl in ("low", "medium", "high")
+                    if lvl in policy.get("levels", {})}
+                if not lowres:
+                    # policy says full everywhere: the guarded number IS the
+                    # primary; record that without re-measuring.
+                    result["guarded_lowres_ms_per_image"] = result["value"]
+                elif (set(lowres) == {"medium", "high"} and all(
+                        p == {"scale": 2, "mode": "guided", "radius": 4}
+                        for p in lowres.values())
+                        and "lowres_medhigh_ms_per_image" in result):
+                    # identical dial to the row above — reuse, don't recompile
+                    result["guarded_lowres_ms_per_image"] = result[
+                        "lowres_medhigh_ms_per_image"]
+                else:
+                    from adam_dehaze_tpu.ops.resolution import (
+                        make_lowres_apply,
+                    )
+                    g_applies = [
+                        jax.jit(make_lowres_apply(
+                            f, scale=lowres[n]["scale"],
+                            mode=lowres[n]["mode"],
+                            radius=lowres[n]["radius"]))
+                        if n in lowres else branch_applies[i]
+                        for i, (n, f) in enumerate(
+                            zip(("low", "medium", "high"), serving_applies))]
+                    engine_g = BinnedAdaptiveEngine(
+                        classifier_apply, g_applies, buckets=(bucket,))
+                    per_iter_g = _time(
+                        lambda: engine_g(x, intensity=balanced)[0],
+                        iters=max(ITERS // 3, 5))
+                    result["guarded_lowres_ms_per_image"] = round(
+                        per_iter_g / BATCH * 1000.0, 4)
+        except Exception as e:
+            print(f"guarded-lowres variant skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
         # Non-oracle routing: classifier argmax decides the bins (random-
         # weight classifier => arbitrary skew incl. bucket padding waste).
         if _budget_ok("predicted_routing"):

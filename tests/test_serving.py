@@ -99,6 +99,35 @@ def test_serving_roundtrip(experiment, rng):
     np.testing.assert_allclose(dev, hard, rtol=1e-5, atol=1e-6)
 
 
+def test_serving_lowres_auto(experiment, rng):
+    """lowres='auto' consumes the experiment's tuned resolution policy
+    (resolution_autotune.py) — loud when absent, per-level dial when
+    present. low stays the exact path, so its routed images must match the
+    plain engine bit-for-bit; medium/high go through the guided lift."""
+    import json
+
+    dehazer = AdaptiveDehazer.from_experiment(experiment)
+    images = rng.random((6, 32, 32, 3), dtype=np.float32)
+    with pytest.raises(FileNotFoundError):
+        dehazer.route_hard(images, lowres="auto")
+    policy = {"levels": {
+        "low": {"choice": "full"},
+        "medium": {"choice": "guided_r4_s2", "mode": "guided", "radius": 4,
+                   "scale": 2},
+        "high": {"choice": "guided_r4_s2", "mode": "guided", "radius": 4,
+                 "scale": 2}}}
+    with open(os.path.join(experiment, "resolution_policy.json"), "w") as f:
+        json.dump(policy, f)
+    out, intensity = dehazer.route_hard(images, lowres="auto")
+    assert out.shape == images.shape
+    assert any(k.startswith("binned_lowres_") for k in dehazer._engines)
+    base, i_base = dehazer.route_hard(images)
+    np.testing.assert_array_equal(intensity, i_base)
+    low_rows = intensity == 0
+    if low_rows.any():
+        np.testing.assert_allclose(out[low_rows], base[low_rows], atol=1e-6)
+
+
 def test_serving_stream(experiment, rng):
     dehazer = AdaptiveDehazer.from_experiment(experiment)
     batches = [rng.random((2, 32, 32, 3), dtype=np.float32) for _ in range(3)]
