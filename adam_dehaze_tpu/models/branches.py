@@ -18,15 +18,31 @@ from flax import linen as nn
 
 from adam_dehaze_tpu.nn.blocks import (
     AttentionBlock,
+    AttentionBlockR,
     ConvBlock,
+    ConvBlockR,
     ResidualBlock,
+    ResidualBlockR,
     UpBlock,
+    UpBlockR,
     resize_bilinear,
     resize_bilinear_align_corners,
 )
 from adam_dehaze_tpu.parallel.sharding import shard_channels
 
 Dtype = Any
+
+
+def _fullres_blocks(remat: bool):
+    """Block classes for FULL-RESOLUTION call sites: the nn.remat twins
+    (identical param tree, interiors recomputed in backward) under
+    `tpu.remat: fullres`, the plain classes otherwise. Half/quarter-res
+    sites always use the plain classes — their activations are 4-16x
+    smaller, so rematting them buys little HBM for real recompute FLOPs
+    (nn/blocks.py:remat_twin)."""
+    if remat:
+        return ConvBlockR, ResidualBlockR, AttentionBlockR, UpBlockR
+    return ConvBlock, ResidualBlock, AttentionBlock, UpBlock
 
 
 class LightweightDehazeModel(nn.Module):
@@ -39,14 +55,16 @@ class LightweightDehazeModel(nn.Module):
     n_blocks: int = 3
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        h = ConvBlock(self.base_channels, 3, dtype=dt)(x.astype(dt), train)
+        CB, RB, _, _ = _fullres_blocks(self.remat_fullres)  # all-full-res net
+        h = CB(self.base_channels, 3, dtype=dt)(x.astype(dt), train)
         for _ in range(self.n_blocks):
-            h = ResidualBlock(self.base_channels, dtype=dt)(h, train)
-        h = ConvBlock(self.base_channels, 3, dtype=dt)(h, train)
+            h = RB(self.base_channels, dtype=dt)(h, train)
+        h = CB(self.base_channels, 3, dtype=dt)(h, train)
         out = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(h)
         out = jax.nn.sigmoid(out)
@@ -65,21 +83,23 @@ class LowIntensityUNet(nn.Module):
     n_blocks: int = 3
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         c = self.base_channels
-        init = ConvBlock(c, 3, dtype=dt)(x.astype(dt), train)
+        CB, _, _, UB = _fullres_blocks(self.remat_fullres)
+        init = CB(c, 3, dtype=dt)(x.astype(dt), train)
         down = ConvBlock(c * 2, 4, stride=2, padding=1, dtype=dt)(init, train)
         down = ResidualBlock(c * 2, dtype=dt)(down, train)
         h = down
         for _ in range(self.n_blocks - 1):
             h = ResidualBlock(c * 2, dtype=dt)(h, train)
-        up = UpBlock(c, dtype=dt)(h, train)
+        up = UB(c, dtype=dt)(h, train)
         h = jnp.concatenate([up, init], axis=-1)
-        h = ConvBlock(c, 3, dtype=dt)(h, train)
-        h = ConvBlock(c, 3, dtype=dt)(h, train)
+        h = CB(c, 3, dtype=dt)(h, train)
+        h = CB(c, 3, dtype=dt)(h, train)
         out = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(h)
         out = jax.nn.sigmoid(out)
@@ -97,12 +117,14 @@ class MediumIntensityDehazeModel(nn.Module):
     n_blocks: int = 6  # kept for config parity; depth is structural
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         c = self.base_channels
-        f0 = ConvBlock(c, 7, dtype=dt)(x.astype(dt), train)
+        CB, RB, _, UB = _fullres_blocks(self.remat_fullres)
+        f0 = CB(c, 7, dtype=dt)(x.astype(dt), train)
 
         e1 = ConvBlock(c * 2, 4, stride=2, padding=1, dtype=dt)(f0, train)
         e1 = ResidualBlock(c * 2, dtype=dt)(e1, train)
@@ -123,14 +145,14 @@ class MediumIntensityDehazeModel(nn.Module):
             d1 = resize_bilinear(d1, e1.shape[1:3])
         d1 = jnp.concatenate([d1, e1], axis=-1)
 
-        d2 = UpBlock(c, dtype=dt)(d1, train)
-        d2 = ResidualBlock(c, dtype=dt)(d2, train)
+        d2 = UB(c, dtype=dt)(d1, train)
+        d2 = RB(c, dtype=dt)(d2, train)
         if d2.shape[1:3] != f0.shape[1:3]:
             d2 = resize_bilinear(d2, f0.shape[1:3])
         d2 = jnp.concatenate([d2, f0], axis=-1)
 
-        h = ConvBlock(c, 3, dtype=dt)(d2, train)
-        h = ConvBlock(c // 2, 3, dtype=dt)(h, train)
+        h = CB(c, 3, dtype=dt)(d2, train)
+        h = CB(c // 2, 3, dtype=dt)(h, train)
         res = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(h)
         res = jnp.tanh(res)
@@ -144,16 +166,18 @@ class COrunInspiredModel(nn.Module):
     n_blocks: int = 6
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         c = self.base_channels
-        init = ConvBlock(c, 7, dtype=dt)(x.astype(dt), train)
+        CB, RB, _, _ = _fullres_blocks(self.remat_fullres)
+        init = CB(c, 7, dtype=dt)(x.astype(dt), train)
 
         # Upsampling uses align_corners=True to match the reference's
         # nn.UpsamplingBilinear2d (medium_intensity.py:146,151).
-        s1 = ConvBlock(c, 3, dtype=dt)(init, train)
+        s1 = CB(c, 3, dtype=dt)(init, train)
         s2 = nn.max_pool(init, (2, 2), strides=(2, 2))
         s2 = ConvBlock(c * 2, 3, dtype=dt)(s2, train)
         s2 = resize_bilinear_align_corners(s2, init.shape[1:3])
@@ -162,11 +186,11 @@ class COrunInspiredModel(nn.Module):
         s3 = resize_bilinear_align_corners(s3, init.shape[1:3])
 
         fused = jnp.concatenate([s1, s2, s3], axis=-1)
-        fused = ConvBlock(c * 2, 1, padding=0, dtype=dt)(fused, train)
+        fused = CB(c * 2, 1, padding=0, dtype=dt)(fused, train)
         h = fused
         for _ in range(self.n_blocks):
-            h = ResidualBlock(c * 2, dtype=dt)(h, train)
-        h = ConvBlock(c, 3, dtype=dt)(h, train)
+            h = RB(c * 2, dtype=dt)(h, train)
+        h = CB(c, 3, dtype=dt)(h, train)
         res = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(h)
         res = jnp.tanh(res)
@@ -183,21 +207,23 @@ class HighIntensityDehazeModel(nn.Module):
     n_blocks: int = 9
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         c = self.base_channels
         pl = self.use_pallas
+        CB, RB, AB, UB = _fullres_blocks(self.remat_fullres)
         xin = x.astype(dt)
 
         # Detail guidance map (1 channel, sigmoid).
-        g = ConvBlock(16, 3, dtype=dt)(xin, train)
-        g = ConvBlock(16, 3, dtype=dt)(g, train)
+        g = CB(16, 3, dtype=dt)(xin, train)
+        g = CB(16, 3, dtype=dt)(g, train)
         guidance = jax.nn.sigmoid(
             nn.Conv(1, (1, 1), padding=0, dtype=dt, param_dtype=jnp.float32)(g))
 
-        f0 = ConvBlock(c, 7, dtype=dt)(xin, train)
+        f0 = CB(c, 7, dtype=dt)(xin, train)
 
         e1 = ConvBlock(c * 2, 4, stride=2, padding=1, dtype=dt)(f0, train)
         e1 = ResidualBlock(c * 2, dtype=dt)(e1, train)
@@ -223,15 +249,15 @@ class HighIntensityDehazeModel(nn.Module):
             d1 = resize_bilinear(d1, e1.shape[1:3])
         d1 = jnp.concatenate([d1, e1], axis=-1)
 
-        d2 = UpBlock(c, dtype=dt)(d1, train)
-        d2 = ResidualBlock(c, dtype=dt)(d2, train)
-        d2 = AttentionBlock(c, use_pallas=pl, dtype=dt)(d2, train)
+        d2 = UB(c, dtype=dt)(d1, train)
+        d2 = RB(c, dtype=dt)(d2, train)
+        d2 = AB(c, use_pallas=pl, dtype=dt)(d2, train)
         if d2.shape[1:3] != f0.shape[1:3]:
             d2 = resize_bilinear(d2, f0.shape[1:3])
         d2 = jnp.concatenate([d2, f0], axis=-1)
 
-        h = ConvBlock(c, 3, dtype=dt)(d2, train)
-        h = ConvBlock(c // 2, 3, dtype=dt)(h, train)
+        h = CB(c, 3, dtype=dt)(d2, train)
+        h = CB(c // 2, 3, dtype=dt)(h, train)
         res = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(h)
         res = jnp.tanh(res)
@@ -245,15 +271,17 @@ class DualBranchAttentionModel(nn.Module):
     n_blocks: int = 9
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         c = self.base_channels
         pl = self.use_pallas
+        CB, RB, _, _ = _fullres_blocks(self.remat_fullres)
         xin = x.astype(dt)
 
-        g = ConvBlock(c, 7, dtype=dt)(xin, train)
+        g = CB(c, 7, dtype=dt)(xin, train)
         g = nn.max_pool(g, (2, 2), strides=(2, 2))
         g = ResidualBlock(c, dtype=dt)(g, train)
         g = AttentionBlock(c, use_pallas=pl, dtype=dt)(g, train)
@@ -266,20 +294,20 @@ class DualBranchAttentionModel(nn.Module):
         g = resize_bilinear_align_corners(g, (xin.shape[1] // 2, xin.shape[2] // 2))
         g = ResidualBlock(c, dtype=dt)(g, train)
         g = resize_bilinear_align_corners(g, xin.shape[1:3])
-        g = ConvBlock(c // 2, 3, dtype=dt)(g, train)
+        g = CB(c // 2, 3, dtype=dt)(g, train)
 
-        l = ConvBlock(c // 2, 3, dtype=dt)(xin, train)
-        l = ResidualBlock(c // 2, dtype=dt)(l, train)
-        l = ResidualBlock(c // 2, dtype=dt)(l, train)
-        l = ConvBlock(c // 2, 3, dtype=dt)(l, train)
+        l = CB(c // 2, 3, dtype=dt)(xin, train)
+        l = RB(c // 2, dtype=dt)(l, train)
+        l = RB(c // 2, dtype=dt)(l, train)
+        l = CB(c // 2, 3, dtype=dt)(l, train)
 
         h = jnp.concatenate([g, l], axis=-1)
-        t = ConvBlock(c // 2, 3, dtype=dt)(h, train)
-        t = ConvBlock(c // 4, 3, dtype=dt)(t, train)
+        t = CB(c // 2, 3, dtype=dt)(h, train)
+        t = CB(c // 4, 3, dtype=dt)(t, train)
         transmission = jax.nn.sigmoid(
             nn.Conv(1, (1, 1), padding=0, dtype=dt, param_dtype=jnp.float32)(t))
 
-        r = ConvBlock(c // 2, 3, dtype=dt)(h, train)
+        r = CB(c // 2, 3, dtype=dt)(h, train)
         res = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(r)
         res = jnp.tanh(res)
@@ -298,14 +326,16 @@ class EncoderDecoder(nn.Module):
     use_attention: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat_fullres: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         c = self.base_channels
         per = max(self.n_blocks // 3, 1)
+        CB, _, _, UB = _fullres_blocks(self.remat_fullres)
 
-        h = ConvBlock(c, 7, dtype=dt)(x.astype(dt), train)
+        h = CB(c, 7, dtype=dt)(x.astype(dt), train)
         skips = [h]
         ch = c
         for _ in range(3):
@@ -325,15 +355,17 @@ class EncoderDecoder(nn.Module):
             for _ in range(per):
                 h = ResidualBlock(ch, dtype=dt)(h, train)
             ch //= 2
-            h = UpBlock(ch, dtype=dt)(h, train)
+            # level 2's UpBlock/fusion outputs are full resolution.
+            h = (UB if level == 2 else UpBlock)(ch, dtype=dt)(h, train)
             skip = skips[2 - level]
             if h.shape[1:3] != skip.shape[1:3]:
                 h = resize_bilinear(h, skip.shape[1:3])
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(ch, 1, padding=0, use_bn=False, activation=None,
-                          dtype=dt)(h, train)
+            h = (CB if level == 2 else ConvBlock)(
+                ch, 1, padding=0, use_bn=False, activation=None,
+                dtype=dt)(h, train)
 
-        h = ConvBlock(c, 3, dtype=dt)(h, train)
+        h = CB(c, 3, dtype=dt)(h, train)
         res = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
                       param_dtype=jnp.float32)(h)
         res = jnp.tanh(res)
@@ -344,14 +376,20 @@ def _common_kwargs(config):
     import jax.numpy as jnp  # local to avoid cycle at import time
     from adam_dehaze_tpu.config import use_pallas
     dtype = jnp.dtype(config.get("tpu", {}).get("compute_dtype", "float32"))
-    return {"dtype": dtype, "use_pallas": use_pallas(config)}
+    return {"dtype": dtype, "use_pallas": use_pallas(config),
+            # selective remat: full-resolution blocks become nn.remat twins
+            # (identical param tree; nn/blocks.py:remat_twin).
+            "remat_fullres":
+                config.get("tpu", {}).get("remat") == "fullres"}
 
 
 def _maybe_remat(cls, config):
-    """Rematerialisation is applied at the train-step level
-    (training/train_dehazing.py, train_joint.py: jax.checkpoint around the
-    forward with `train` closed over) — flax-level nn.remat would trace the
-    bool `train` argument. This hook is kept for config surface stability."""
+    """FULL rematerialisation (`tpu.remat: true`) is applied at the
+    train-step level (training/remat.py: jax.checkpoint around the forward
+    with `train` closed over). SELECTIVE remat (`tpu.remat: fullres`) is
+    structural instead — `_common_kwargs` sets `remat_fullres` on the model
+    so only full-resolution blocks recompute. This hook is kept for config
+    surface stability."""
     del config
     return cls
 

@@ -29,6 +29,33 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def remat_twin(cls, static_argnums=(2,)):
+    """`nn.remat` variant of a block class that PRESERVES flax auto-naming.
+
+    nn.remat renames the transformed class ("CheckpointConvBlock"), which
+    silently forks the parameter paths — a checkpoint trained without remat
+    would no longer restore. Restoring `__name__` keeps the auto-name
+    counters ("ConvBlock_0", ...) byte-identical to the plain class, so a
+    remat-built model and a plain-built model share one parameter tree
+    (pinned by tests/test_remat.py).
+
+    Used for SELECTIVE remat (`tpu.remat: fullres`): branch models wrap only
+    the blocks whose outputs are full-resolution — those interiors dominate
+    HBM bytes (one (32, 256, 256, 96) bf16 tensor is 400 MB) but recompute
+    from their own block inputs, so batch-32 256² joint training fits a
+    16 GB chip (misses by 0.5 GB un-rematted, ROUND3.md) at a small FLOP
+    overhead instead of full remat's ~2x forward. Why structural rather
+    than a checkpoint_name policy: `save_anything_except_these_names` was
+    measured NOT to shed chain residuals — partial-eval just saves the
+    excluded value's unnamed neighbor instead (same full-res byte count,
+    see DESIGN.md §15).
+
+    static_argnums=(2,) marks the `train` bool static (arg 0 is self)."""
+    t = nn.remat(cls, static_argnums=static_argnums)
+    t.__name__ = cls.__name__
+    return t
+
+
 class ConvBlock(nn.Module):
     """Conv -> optional BatchNorm -> optional activation
     (reference: base_model.py:4-24)."""
@@ -233,3 +260,12 @@ def resize_bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Ar
             + x[:, yhi] * yf[None, :, None, None])
     return (rows[:, :, xlo] * (1.0 - xf)[None, None, :, None]
             + rows[:, :, xhi] * xf[None, None, :, None])
+
+
+# Remat twins (see remat_twin): identical parameter trees to the plain
+# classes; interiors recompute in the backward pass. Branch models select
+# these for their FULL-RESOLUTION block instances under tpu.remat=fullres.
+ConvBlockR = remat_twin(ConvBlock)
+ResidualBlockR = remat_twin(ResidualBlock)
+AttentionBlockR = remat_twin(AttentionBlock)
+UpBlockR = remat_twin(UpBlock)

@@ -91,13 +91,14 @@ def get_intensity_loader(config, split: str, intensity: str) -> DataLoader:
 
 
 def make_train_step(model, tx, loss, loss_params, augmentation=True,
-                    remat=False):
+                    remat=False, img_size=None):
     def fwd(params, batch_stats, x):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            x, True, mutable=["batch_stats"])
-    if remat:
-        # Recompute branch activations in the backward pass (HBM for FLOPs).
-        fwd = jax.checkpoint(fwd)
+    # Recompute activations in the backward pass (HBM for FLOPs); 'fullres'
+    # selectively recomputes only full-resolution ones (training/remat.py).
+    from adam_dehaze_tpu.training.remat import apply_remat
+    fwd = apply_remat(fwd, remat, img_size)
 
     @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
@@ -175,7 +176,8 @@ def train_dehazing_model(intensity: str, config, resume: bool = False,
     val_loader = get_intensity_loader(config, "val", intensity)
     train_step = make_train_step(model, tx, loss, loss_params,
                                  config["dataset"].get("augmentation", True),
-                                 remat=config.get("tpu", {}).get("remat", False))
+                                 remat=config.get("tpu", {}).get("remat", False),
+                                 img_size=config["dataset"]["img_size"])
     eval_step = make_eval_step(model, loss, loss_params)
 
     epochs = config["dehazing"].get("epochs", 30)

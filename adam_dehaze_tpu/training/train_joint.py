@@ -109,13 +109,18 @@ def _mask_classifier_grads(grads):
 
 
 def make_train_step(router, tx, joint_loss, loss_params, augmentation=True,
-                    remat=False):
+                    remat=False, img_size=None):
+    """remat: False | True/'full' (jax.checkpoint the whole forward) |
+    'fullres' (SELECTIVE — structural: the router's branch models must have
+    been built from a config with tpu.remat=fullres so their full-resolution
+    blocks are nn.remat twins; step-level this mode is identity. See
+    training/remat.py)."""
     def fwd(params, batch_stats, x, kdrop):
         return router.apply({"params": params, "batch_stats": batch_stats},
                             x, train=True, rngs={"dropout": kdrop},
                             mutable=["batch_stats"])
-    if remat:
-        fwd = jax.checkpoint(fwd)
+    from adam_dehaze_tpu.training.remat import apply_remat
+    fwd = apply_remat(fwd, remat, img_size)
 
     # Donating the state lets XLA update params/Adam moments in place
     # instead of double-buffering them in HBM. Callers must rebind `state`
@@ -201,7 +206,8 @@ def train_joint_model(config, resume: bool = False):
     val_loader = get_dataloader(config, "val")
     train_step = make_train_step(router, tx, joint_loss, loss_params,
                                  config["dataset"].get("augmentation", True),
-                                 remat=config.get("tpu", {}).get("remat", False))
+                                 remat=config.get("tpu", {}).get("remat", False),
+                                 img_size=img)
     eval_step = make_eval_step(router, joint_loss, loss_params)
 
     epochs = config["joint_training"]["epochs"]

@@ -29,6 +29,12 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests)")
+    p.add_argument("--remat", default="none",
+                   choices=("none", "full", "fullres"),
+                   help="rematerialisation: none | full (checkpoint the "
+                        "whole forward) | fullres (selective — recompute "
+                        "only full-resolution activations; the batch-32 "
+                        "HBM fit, ROUND3.md)")
     args = p.parse_args()
 
     if args.cpu:
@@ -48,6 +54,10 @@ def main():
     config["tpu"]["compute_dtype"] = "bfloat16" if on_tpu else "float32"
     config["dataset"]["img_size"] = args.size
     config["dataset"]["batch_size"] = args.batch
+    # fullres remat is structural: the branch models themselves must be
+    # built with the flag (models/branches.py:_common_kwargs).
+    config["tpu"]["remat"] = {"none": False, "full": True,
+                              "fullres": "fullres"}[args.remat]
 
     classifier = create_classifier(config)
     branches = create_branch_models(config)
@@ -64,8 +74,10 @@ def main():
                        params=variables["params"],
                        batch_stats=variables["batch_stats"],
                        opt_state=tx.init(variables["params"]))
+    remat = {"none": False, "full": True, "fullres": "fullres"}[args.remat]
     step = make_train_step(router, tx, joint_loss, loss_params,
-                           augmentation=True)
+                           augmentation=True, remat=remat,
+                           img_size=args.size)
 
     n, s = args.batch, args.size
     batch = {
@@ -98,6 +110,7 @@ def main():
         "value": round(args.batch / dt, 1),
         "sec_per_step": round(dt, 4),
         "batch": args.batch, "size": args.size,
+        "remat": args.remat,
         "device": jax.devices()[0].device_kind,
     }
     try:

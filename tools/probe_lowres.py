@@ -52,6 +52,11 @@ def main():
                    default="benchmarks/round_results/resolution_scheduling.json")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--only", default="",
+                   help="comma-separated dial names to evaluate (default: "
+                        "all); e.g. --only full,policy_auto to score just "
+                        "the tuned policy against baseline without "
+                        "recompiling every sweep dial")
     args = p.parse_args()
 
     if args.cpu:
@@ -80,6 +85,28 @@ def main():
         ("medhigh_guided_r4", {"high": ("guided", 4, 2),
                                "medium": ("guided", 4, 2)}),
     ]
+
+    # The TUNED quality-guarded policy (tools/autotune_resolution.py), when
+    # the experiment has one: evaluated on TEST here (it was tuned on val),
+    # so the policy's reported quality is held-out.
+    from adam_dehaze_tpu.resolution_autotune import (
+        load_policy,
+        policy_to_lowres,
+    )
+    policy = load_policy(os.path.join(args.experiment,
+                                      "resolution_policy.json"))
+    if policy is not None:
+        dial = {lvl: (p["mode"], p["radius"], p["scale"])
+                for lvl, p in policy_to_lowres(policy).items()}
+        if dial and not any(d == dial for _, d in candidates):
+            candidates.append(("policy_auto", dial))
+
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        missing = keep - {n for n, _ in candidates}
+        if missing:
+            raise SystemExit(f"--only: unknown dials {sorted(missing)}")
+        candidates = [(n, d) for n, d in candidates if n in keep]
 
     def applies_for(dial):
         fns = []
@@ -162,6 +189,19 @@ def main():
     result["balanced_engine_ms_per_image"] = eng_cost
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if args.only and os.path.exists(args.out):
+        # partial run: merge into the existing artifact instead of dropping
+        # the dial rows this run skipped.
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            for sect in ("dials", "isolated_branch_ms_per_batch",
+                         "balanced_engine_ms_per_image"):
+                merged = dict(prev.get(sect, {}))
+                merged.update(result.get(sect, {}))
+                result[sect] = merged
+        except (OSError, ValueError):
+            pass
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result["balanced_engine_ms_per_image"]))
