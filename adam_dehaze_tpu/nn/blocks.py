@@ -41,14 +41,21 @@ def remat_twin(cls, static_argnums=(2,)):
 
     Used for SELECTIVE remat (`tpu.remat: fullres`): branch models wrap only
     the blocks whose outputs are full-resolution — those interiors dominate
-    HBM bytes (one (32, 256, 256, 96) bf16 tensor is 400 MB) but recompute
-    from their own block inputs, so batch-32 256² joint training fits a
-    16 GB chip (misses by 0.5 GB un-rematted, ROUND3.md) at a small FLOP
-    overhead instead of full remat's ~2x forward. Why structural rather
-    than a checkpoint_name policy: `save_anything_except_these_names` was
-    measured NOT to shed chain residuals — partial-eval just saves the
-    excluded value's unnamed neighbor instead (same full-res byte count,
-    see DESIGN.md §15).
+    HBM bytes (one (32, 256, 256, 96) bf16 tensor is 400 MB) and recompute
+    from their own block inputs. Why structural rather than a
+    checkpoint_name policy: `save_anything_except_these_names` was measured
+    NOT to shed chain residuals — partial-eval just saves the excluded
+    value's unnamed neighbor instead (same full-res byte count, DESIGN.md
+    §15).
+
+    MEASURED OUTCOME on v5e/XLA (logs/train_b{24,32}_fullres.log): it
+    reduces AD residuals (pinned by test_remat.py) but INCREASES peak HBM
+    (b24 16.16G vs plain fitting; b32 17.16G vs 16.25G plain) — XLA's own
+    scheduler-level rematerialisation already handled these buffers, and
+    the checkpoint boundaries add liveness (`remat_compressed` copies)
+    instead of removing it. Kept as an opt-in knob with its tests because
+    the result is compiler-version-dependent; for memory emergencies use
+    `tpu.remat: true` (full remat).
 
     static_argnums=(2,) marks the `train` bool static (arg 0 is self)."""
     t = nn.remat(cls, static_argnums=static_argnums)

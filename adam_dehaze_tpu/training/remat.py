@@ -7,11 +7,10 @@
   models built from a config with `tpu.remat: fullres` wrap their
   full-resolution blocks in nn.remat twins (models/branches.py:
   _fullres_blocks, nn/blocks.py:remat_twin — identical parameter tree).
-  Full-res conv/BN interiors dominate HBM bytes (one (32, 256, 256, 96)
-  bf16 tensor is 400 MB) but recompute from their own block inputs, so
-  batch-32 256² joint training fits a 16 GB chip (misses by 0.5 GB
-  un-rematted, ROUND3.md) at a small FLOP overhead. At the step level this
-  mode is therefore identity.
+  At the step level this mode is identity. MEASURED on v5e: it reduces AD
+  residuals but INCREASES peak HBM (see remat_twin's docstring — XLA's
+  scheduler-level remat already covered these buffers); kept opt-in as a
+  compiler-version-dependent knob, not a recommendation.
 
   Why not a checkpoint_name policy: `save_anything_except_these_names` on
   tagged full-res activations was MEASURED not to shed chain residuals —

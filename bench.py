@@ -454,9 +454,15 @@ def main():
                        if _budget_ok("trained_routing") else None)
             if trained is not None:
                 x_real, labels_trained, acc = trained
+                # Full ITERS for the trained/spill family: these rows are
+                # DELTAS against the primary (also full ITERS); at //3 the
+                # pipeline-drain tail amortizes differently and manufactures
+                # a ~0.3-0.5 ms/image phantom gap (probe_trained_gap.py
+                # measured spill == oracle interleaved; round_results/
+                # trained_gap_probe.json).
                 per_iter_tr = _time(
                     lambda: engine(x_real, intensity=labels_trained)[0],
-                    iters=max(ITERS // 3, 5))
+                    iters=ITERS)
                 ms_tr = per_iter_tr / BATCH * 1000.0
                 result["predicted_routing_trained_ms_per_image"] = round(
                     ms_tr, 4)
@@ -477,7 +483,7 @@ def main():
                 per_iter_sp = _time(
                     lambda: engine(x_real, intensity=labels_trained,
                                    spill=True)[0],
-                    iters=max(ITERS // 3, 5))
+                    iters=ITERS)
                 result["spill_routing_trained_ms_per_image"] = round(
                     per_iter_sp / BATCH * 1000.0, 4)
                 # Same skew fix in the single-program engine: the on-device
@@ -490,7 +496,7 @@ def main():
                     lab_dev = jnp.asarray(labels_trained)
                     per_iter_dsp = _time(
                         lambda: dev_sp(x_real, lab_dev)[0],
-                        iters=max(ITERS // 3, 5))
+                        iters=ITERS)
                     result["device_spill_trained_ms_per_image"] = round(
                         per_iter_dsp / BATCH * 1000.0, 4)
                 except Exception as e:
