@@ -29,7 +29,8 @@ class AdaptiveDehazer:
     def __init__(self, router, state, config, autotune: bool = False,
                  autotune_cache: Optional[str] = None,
                  precompiled: Optional[str] = None,
-                 resolution_policy: Optional[str] = None):
+                 resolution_policy: Optional[str] = None,
+                 lowres=()):
         self.router = router
         self.config = config
         self._variables = {"params": state.params,
@@ -42,6 +43,11 @@ class AdaptiveDehazer:
         # Tuned per-branch resolution policy (resolution_autotune.py);
         # consumed by lowres="auto" in route_hard/route_hard_stream.
         self._resolution_policy_path = resolution_policy
+        # Construction-time DEFAULT dial for route_hard/route_hard_stream:
+        # () = full resolution; "auto" = the experiment's tuned policy
+        # (quality-guarded; loud if the policy file is absent). Per-call
+        # `lowres=` always overrides.
+        self._default_lowres = lowres
         self.autotune_report: Dict[str, dict] = {}
         # Precompiled serving bundle (serving_export.py): loaded executables
         # keyed by program name + input signature; attached to the plain
@@ -76,6 +82,7 @@ class AdaptiveDehazer:
                         config_path: Optional[str] = None,
                         autotune: bool = False,
                         precompiled: Optional[str] = None,
+                        lowres=(),
                         ) -> "AdaptiveDehazer":
         """Load config + best joint checkpoint from an experiment dir.
 
@@ -83,6 +90,12 @@ class AdaptiveDehazer:
         with an on-the-spot fair-dtype A/B over every equivalence-tested
         serving path (serving_autotune.py), cached in the experiment dir so
         later loads skip the timing.
+
+        lowres="auto" makes the experiment's TUNED resolution policy
+        (tools/autotune_resolution.py) the DEFAULT dispatch for
+        route_hard/route_hard_stream — the quality-guarded dial, adopted
+        per branch only where its held-out-probe PSNR cleared the floor.
+        Per-call `lowres=` still overrides.
 
         precompiled: path to a serving bundle written by
         `export_precompiled` — serving programs load as already-compiled
@@ -102,7 +115,8 @@ class AdaptiveDehazer:
                                                "serving_autotune.json"),
                    precompiled=precompiled,
                    resolution_policy=os.path.join(experiment_dir,
-                                                  "resolution_policy.json"))
+                                                  "resolution_policy.json"),
+                   lowres=lowres)
 
     def __call__(self, images) -> np.ndarray:
         """Soft-routed dehazing: (N, H, W, 3) float [0,1] -> same."""
@@ -345,8 +359,17 @@ class AdaptiveDehazer:
         return self._lazy(
             lambda: make_classifier_serving_apply(clf, sub, dtype=dtype))
 
+    def _resolve_lowres(self, lowres):
+        """None -> the construction-time default; "auto" -> the tuned
+        policy; anything else passes through (() forces full res)."""
+        if lowres is None:
+            lowres = self._default_lowres
+        if isinstance(lowres, str) and lowres == "auto":
+            lowres = self._resolution_policy_lowres()
+        return lowres
+
     def route_hard(self, images, spill: bool = False,
-                   lowres=()) -> Tuple[np.ndarray, np.ndarray]:
+                   lowres=None) -> Tuple[np.ndarray, np.ndarray]:
         """Binned hard routing: each image pays only its own branch.
         spill=True serves per-class overflow with a neighboring branch's
         free pad slots (capacity policy, models/routing.py:
@@ -357,23 +380,23 @@ class AdaptiveDehazer:
         quality/latency dial; see round_results/resolution_scheduling.json
         for the measured trade. lowres="auto" consumes the experiment's
         TUNED policy (resolution_autotune.py: per-branch {full, lowres}
-        chosen by measured PSNR against a floor on a held-out probe set)."""
-        if isinstance(lowres, str) and lowres == "auto":
-            lowres = self._resolution_policy_lowres()
-        engine = self._binned_engine(lowres=lowres)
+        chosen by measured PSNR against a floor on a held-out probe set);
+        lowres=None (default) uses the construction-time default
+        (from_experiment(..., lowres="auto") makes the tuned policy the
+        default dispatch); lowres=() forces full resolution."""
+        engine = self._binned_engine(lowres=self._resolve_lowres(lowres))
         out, intensity = engine(jnp.asarray(images), spill=spill)
         return np.asarray(out), np.asarray(intensity)
 
-    def route_hard_stream(self, batches, spill: bool = False, lowres=()):
+    def route_hard_stream(self, batches, spill: bool = False, lowres=None):
         """Steady-state pipelined serving over an iterable of batches: the
         classifier of batch k+1 overlaps batch k's host binning round-trip
         (models/routing.py:BinnedAdaptiveEngine.run_stream). Yields
-        (dehazed np.ndarray, intensity np.ndarray). lowres="auto" consumes
-        the experiment's tuned resolution policy (see route_hard)."""
-        if isinstance(lowres, str) and lowres == "auto":
-            lowres = self._resolution_policy_lowres()
-        for out, intensity in self._binned_engine(lowres=lowres).run_stream(
-                batches, spill=spill):
+        (dehazed np.ndarray, intensity np.ndarray). lowres: see
+        route_hard ("auto" = tuned policy; None = construction default;
+        () = full resolution)."""
+        engine = self._binned_engine(lowres=self._resolve_lowres(lowres))
+        for out, intensity in engine.run_stream(batches, spill=spill):
             yield np.asarray(out), np.asarray(intensity)
 
     def route_hard_queued(self, batches, queue_bucket: int = 16,

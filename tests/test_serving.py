@@ -128,6 +128,28 @@ def test_serving_lowres_auto(experiment, rng):
         np.testing.assert_allclose(out[low_rows], base[low_rows], atol=1e-6)
 
 
+def test_serving_default_lowres_policy(experiment, rng):
+    """from_experiment(lowres='auto') makes the tuned policy the DEFAULT
+    dispatch: plain route_hard uses the lowres engine, an explicit
+    lowres=() overrides back to full resolution."""
+    import json
+
+    policy = {"levels": {
+        "low": {"choice": "full"},
+        "medium": {"choice": "full"},
+        "high": {"choice": "guided_r4_s2", "mode": "guided", "radius": 4,
+                 "scale": 2}}}
+    with open(os.path.join(experiment, "resolution_policy.json"), "w") as f:
+        json.dump(policy, f)
+    dehazer = AdaptiveDehazer.from_experiment(experiment, lowres="auto")
+    images = rng.random((4, 32, 32, 3), dtype=np.float32)
+    out, _ = dehazer.route_hard(images)
+    assert out.shape == images.shape
+    assert any(k.startswith("binned_lowres_") for k in dehazer._engines)
+    out_full, _ = dehazer.route_hard(images, lowres=())
+    assert "binned" in dehazer._engines  # explicit () -> the plain engine
+
+
 def test_serving_stream(experiment, rng):
     dehazer = AdaptiveDehazer.from_experiment(experiment)
     batches = [rng.random((2, 32, 32, 3), dtype=np.float32) for _ in range(3)]
