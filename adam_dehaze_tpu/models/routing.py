@@ -20,6 +20,7 @@ All routers return `(dehazed, info_dict)` with the reference's info keys.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -166,6 +167,50 @@ def bucket_for(n: int, buckets, extend: bool = False) -> int:
     return -(-n // m) * m if extend else m
 
 
+@functools.lru_cache(maxsize=4096)
+def plan_chunks(n: int, buckets: tuple, overhead_rows: float = 2.0) -> tuple:
+    """Cost-model bucket decomposition of n rows into precompiled programs.
+
+    `bucket_for` alone over-pads skewed bins: a class with 18 images takes
+    one chunk of 18 -> padded to the 32-bucket, paying 14 wasted rows of
+    branch compute (~3.7 ms/row for the high branch — exactly the measured
+    ~1.0 ms/image fidelity-trained-routing delta in BENCH_r03). This DP
+    instead decomposes n into a multiset of ladder sizes minimizing
+
+        padded_rows + overhead_rows * n_programs
+
+    i.e. wasted branch rows traded against per-program dispatch overhead
+    expressed in row units (overhead_ms / row_ms). 18 -> (16, 2) with the
+    default overhead (0 pad, 2 programs beats 14 pad rows); 14 -> (16,)
+    (2 pad rows beat the 3 programs of 8+4+2). overhead_rows is per CLASS:
+    a low-branch row is ~13x cheaper than a high-branch row, so the same
+    dispatch overhead is worth ~13x more pad rows there.
+
+    Returns a descending tuple of bucket sizes with sum >= n; every entry
+    consumes at least one real row when filled largest-first (a minimal
+    plan never contains a droppable program).
+    """
+    buckets = tuple(sorted(buckets))
+    if n <= 0:
+        return ()
+    INF = float("inf")
+    # cost[r] = min total (sum(b) + overhead*count) to cover r remaining rows
+    cost = [0.0] + [INF] * n
+    pick = [0] * (n + 1)
+    for r in range(1, n + 1):
+        for b in buckets:
+            rest = max(0, r - b)
+            c = b + overhead_rows + cost[rest]
+            if c < cost[r]:
+                cost[r], pick[r] = c, b
+    plan, r = [], n
+    while r > 0:
+        b = pick[r]
+        plan.append(b)
+        r -= b
+    return tuple(sorted(plan, reverse=True))
+
+
 class BinnedAdaptiveEngine:
     """Host-binned hard routing: the adaptive-FLOPs serving engine.
 
@@ -183,10 +228,18 @@ class BinnedAdaptiveEngine:
 
     def __init__(self, classifier_apply: Callable,
                  branch_applies: Sequence[Callable],
-                 buckets: Sequence[int] = (1, 2, 4, 8, 16, 32)):
+                 buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
+                 program_overhead_rows=2.0):
         self.classifier_apply = jax.jit(classifier_apply)
         self.branch_applies = [jax.jit(f) for f in branch_applies]
         self.buckets = tuple(sorted(buckets))
+        # Per-class dispatch-overhead-in-row-units for plan_chunks: how many
+        # padded rows of THAT branch one extra bucket program is worth.
+        # Scalar broadcasts; set_chunk_costs derives it from measured ms.
+        if isinstance(program_overhead_rows, (int, float)):
+            program_overhead_rows = [float(program_overhead_rows)] * len(
+                self.branch_applies)
+        self.program_overhead_rows = [float(v) for v in program_overhead_rows]
         # ONE fused program per (branch, bucket-size): gather -> branch ->
         # scatter with the output buffer DONATED, so each bucket costs a
         # single dispatch (three separate gather/branch/scatter dispatches
@@ -212,10 +265,13 @@ class BinnedAdaptiveEngine:
         program of that branch (measured +1.2 ms/image on trained traffic at
         buckets=(16,): a 17th high-class image adds a ~59 ms high-bucket
         dispatch, BENCH_r03 `predicted_routing_trained_ms_per_image`).
-        This plan caps each class at `ceil(n / n_classes)` rounded up to a
-        bucket size and SPILLS overflow images into other classes' free pad
-        slots — they are served by a neighboring branch instead of paying a
-        new program. Spill preference: the next STRONGER branch first (a
+        plan_chunks has since shrunk fidelity's overflow price to a planned
+        SMALL bucket (a 17th high image costs a 1-bucket program, ~1/16 of
+        the old padded dispatch); spill removes even that program plus the
+        class's pad rows. This plan caps each class at `ceil(n / n_classes)`
+        rounded up to a bucket size and SPILLS overflow images into other
+        classes' free pad slots — they are served by a neighboring branch
+        instead of paying a new program. Spill preference: the next STRONGER branch first (a
         heavier dehazer on lighter fog degrades less than the reverse),
         then weaker. With `logits`, the spilled images are the ones whose
         classifier margin toward the target class is smallest (exactly the
@@ -257,8 +313,24 @@ class BinnedAdaptiveEngine:
                 free[c] += m
         return labels_eff
 
+    def set_chunk_costs(self, dispatch_overhead_ms: float,
+                        branch_row_ms: Sequence[float]) -> None:
+        """Feed measured serving costs into the chunk planner: one extra
+        bucket program costs `dispatch_overhead_ms`; a padded row of class c
+        costs `branch_row_ms[c]`. plan_chunks then trades them in row units
+        (overhead_ms / row_ms) per class — e.g. from the serving autotune
+        table's per-16 branch times."""
+        self.program_overhead_rows = [
+            float(dispatch_overhead_ms) / max(float(r), 1e-6)
+            for r in branch_row_ms]
+
     def _dispatch(self, x, intensity):
-        """Run the binned branch programs for one batch (labels on host)."""
+        """Run the binned branch programs for one batch (labels on host).
+
+        Per class, the chunk sizes come from plan_chunks — a cost-model
+        decomposition (pad rows vs extra programs) instead of one
+        bucket_for-saturated chunk, so skewed bins (e.g. 18 of a class)
+        run 16+2 rather than one 32-padded program."""
         import numpy as np
         out = jnp.zeros_like(x)
         for cls, step in enumerate(self._bucket_steps):
@@ -266,9 +338,9 @@ class BinnedAdaptiveEngine:
             if idxs.size == 0:
                 continue
             pos = 0
-            while pos < idxs.size:
-                chunk = idxs[pos:pos + self.buckets[-1]]
-                b = self._bucket(chunk.size)
+            for b in plan_chunks(int(idxs.size), self.buckets,
+                                 self.program_overhead_rows[cls]):
+                chunk = idxs[pos:pos + b]
                 # Pad indices to the bucket's static shape; duplicate rows
                 # just recompute + rewrite the same image.
                 padded = np.concatenate(
@@ -415,10 +487,15 @@ class BinnedAdaptiveEngine:
         def _serve_padded(cls):
             """One remainder dispatch through the padded bucket ladder,
             whose largest program is buckets[-1] — chunk there even when
-            queue_bucket is larger (matches _dispatch)."""
-            take = min(counts[cls], q, self.buckets[-1])
+            queue_bucket is larger (matches _dispatch). The chunk size is
+            the planner's largest bucket so a remainder of e.g. 18 serves
+            16 pad-free now + 2 next call instead of one 32-padded
+            program."""
+            cap = min(counts[cls], q, self.buckets[-1])
+            b = plan_chunks(cap, self.buckets,
+                            self.program_overhead_rows[cls])[0]
+            take = min(cap, b)
             xq, gidx = _compose(cls, take)
-            b = self._bucket(take)
             if b != take:
                 pad = jnp.broadcast_to(xq[-1:], (b - take,) + xq.shape[1:])
                 xq = jnp.concatenate([xq, pad])

@@ -241,11 +241,27 @@ class AdaptiveDehazer:
             f"{lvl}-{p['scale']}-{p['mode']}-{p['radius']}"
             for lvl, p in sorted(lowres.items())))
         if key not in self._engines:
-            from adam_dehaze_tpu.models.routing import BinnedAdaptiveEngine
+            from adam_dehaze_tpu.models.routing import (
+                BinnedAdaptiveEngine, INTENSITY_ORDER)
             engine = BinnedAdaptiveEngine(
                 self._classifier_apply(),
                 self._branch_applies(lowres=lowres, lowres_scale=lowres_scale,
                                      lowres_mode=lowres_mode))
+            # Feed measured branch costs into the chunk planner when the
+            # autotune pass timed them (winner ms per 16-batch): pad rows
+            # are then traded against dispatch overhead in REAL row costs
+            # per class, not the scalar default. 0.35 ms is the measured
+            # steady-state per-program enqueue cost on axon (pipelined
+            # dispatch; benchmarks/PROFILE.md timing notes).
+            row_ms = []
+            for lvl in INTENSITY_ORDER:
+                rep = self.autotune_report.get(lvl) or {}
+                ms16 = (rep.get("table") or {}).get(rep.get("best"))
+                if not ms16:
+                    break
+                row_ms.append(float(ms16) / 16.0)
+            if len(row_ms) == len(INTENSITY_ORDER):
+                engine.set_chunk_costs(0.35, row_ms)
             # Attach the precompiled bundle ONLY to the plain engine: the
             # lowres variants compute different math behind identical input
             # signatures, so a shape-match there would silently serve the

@@ -225,6 +225,7 @@ def main():
     # so decisions made on the trained experiment transfer to bench's
     # random-init parity models.
     dispatch_used = {}
+    hit_row_ms = {}
     if os.environ.get("BENCH_AUTOTUNE", "1") != "0":
         from adam_dehaze_tpu.serving_autotune import load_cached
         cache_path = os.environ.get(
@@ -243,10 +244,29 @@ def main():
             if fn is not None:
                 serving_applies[i] = fn
                 dispatch_used[n] = hit["best"]
+                ms16 = (hit.get("table") or {}).get(hit["best"])
+                # Winner ms per 16-batch -> per-row cost for the chunk
+                # planner (sample_shape batch is BATCH//3 == 16).
+                if ms16:
+                    hit_row_ms[n] = float(ms16) / sample_shape[0]
     branch_applies = [jax.jit(f) for f in serving_applies]
     bucket = BATCH // 3
+    # Small-bucket ladder so the chunk planner (models/routing.py:
+    # plan_chunks) can serve skewed TRAINED traffic without whole-bucket
+    # pad waste (18 of a class -> 16+2, not 16+16). Balanced/oracle rows
+    # use exactly the 16-bucket program, so the primary row compiles the
+    # same program set as the old buckets=(16,) engine; the small-bucket
+    # programs compile lazily only when the trained rows first need them.
+    # DELIBERATELY coarser than the serving default (1,2,4,8,16,32): every
+    # extra bucket size is a lazy remote compile on axon (~1 min each), and
+    # {2,4} already caps pad waste at 3 rows (<0.05 ms/image) while
+    # bounding the extra compiles at two per branch.
     engine = BinnedAdaptiveEngine(classifier_apply, branch_applies,
-                                  buckets=(bucket,))
+                                  buckets=(2, 4, bucket))
+    if all(n in hit_row_ms for n in ("low", "medium", "high")):
+        row_ms = [hit_row_ms[n] for n in ("low", "medium", "high")]
+        if all(r > 0 for r in row_ms):
+            engine.set_chunk_costs(0.35, row_ms)
 
     x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
     balanced = np.repeat(np.arange(3), bucket)
