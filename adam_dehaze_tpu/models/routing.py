@@ -191,6 +191,10 @@ def plan_chunks(n: int, buckets: tuple, overhead_rows: float = 2.0) -> tuple:
     plan never contains a droppable program).
     """
     buckets = tuple(sorted(buckets))
+    if not buckets:
+        # Public + lru_cached: an empty ladder would leave cost[r]=inf and
+        # pick[r]=0, making the reconstruction loop spin forever.
+        raise ValueError("plan_chunks requires a non-empty bucket ladder")
     if n <= 0:
         return ()
     INF = float("inf")

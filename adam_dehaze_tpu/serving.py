@@ -253,15 +253,23 @@ class AdaptiveDehazer:
             # per class, not the scalar default. 0.35 ms is the measured
             # steady-state per-program enqueue cost on axon (pipelined
             # dispatch; benchmarks/PROFILE.md timing notes).
+            # Autotune rows are measured on the FULL-resolution applies; a
+            # lowres engine's branch rows are 3-6x cheaper, so feeding these
+            # costs there would overvalue pad rows and split bins into extra
+            # programs (extra dispatches + lazy compiles of small buckets).
+            # Lowres engines keep the scalar default instead. ms16 also
+            # contains one dispatch's worth of the very overhead being
+            # traded — subtract it before deriving the per-row cost.
+            dispatch_ms = 0.35
             row_ms = []
             for lvl in INTENSITY_ORDER:
                 rep = self.autotune_report.get(lvl) or {}
                 ms16 = (rep.get("table") or {}).get(rep.get("best"))
                 if not ms16:
                     break
-                row_ms.append(float(ms16) / 16.0)
-            if len(row_ms) == len(INTENSITY_ORDER):
-                engine.set_chunk_costs(0.35, row_ms)
+                row_ms.append(max(float(ms16) - dispatch_ms, 1e-6) / 16.0)
+            if not lowres and len(row_ms) == len(INTENSITY_ORDER):
+                engine.set_chunk_costs(dispatch_ms, row_ms)
             # Attach the precompiled bundle ONLY to the plain engine: the
             # lowres variants compute different math behind identical input
             # signatures, so a shape-match there would silently serve the

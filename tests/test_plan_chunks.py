@@ -154,3 +154,12 @@ def test_set_chunk_costs_row_units():
     assert eng.program_overhead_rows[2] == pytest.approx(0.0946, abs=1e-3)
     # high-branch rows are expensive: 14 now splits pad-free
     assert sum(plan_chunks(14, LADDER, eng.program_overhead_rows[2])) == 14
+
+
+def test_empty_ladder_raises():
+    """An empty bucket ladder must raise, not hang (ADVICE r3: cost[r]=inf
+    left the reconstruction loop spinning forever)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_chunks(5, ())

@@ -31,6 +31,12 @@ done
 
 [ -e "$EXP/serving_autotune.json" ] && \
     cp "$EXP/serving_autotune.json" benchmarks/round_results/serving_autotune_r3.json
-grep -h '"metric"' logs/bench_s10.log > benchmarks/round_results/bench_line_s10.json \
-    2>/dev/null || true
+# Last matching line only (an emergency-dump line can precede the final
+# one); fail loudly instead of committing an empty artifact.
+BLINE=$(grep -h '"metric"' logs/bench_s10.log 2>/dev/null | tail -n 1)
+if [ -n "$BLINE" ]; then
+    printf '%s\n' "$BLINE" > benchmarks/round_results/bench_line_s10.json
+else
+    echo "ERROR: no bench line found in logs/bench_s10.log" >&2
+fi
 echo "POST_QUEUE_DONE"

@@ -9,6 +9,7 @@
 # host idle then (timing-hygiene rule, benchmarks/PROFILE.md).
 set -x
 cd /root/repo
+trap 'rm -f /tmp/queue_timing_phase' EXIT
 CFG=adam_dehaze_tpu/configs/full_system_tpu.yaml
 EXP=experiments/full_system_r3
 mkdir -p "$EXP" logs
