@@ -28,7 +28,8 @@ class DetectionDataset:
 
     def __init__(self, root_dir: str, annotation_dir: str, split: str = "test",
                  img_size: int = 512, max_boxes: int = 64,
-                 image_source: str = "hazy"):
+                 image_source: str = "hazy", augment: bool = False,
+                 seed: int = 0):
         """image_source: which triplet member to feed the detector. "hazy" for
         evaluation (the degraded input the system sees); "clear" for detector
         fine-tuning — the reference's detector is COCO-pretrained on natural
@@ -40,6 +41,13 @@ class DetectionDataset:
         self.annotation_dir = annotation_dir
         self.img_size = img_size
         self.max_boxes = max_boxes
+        # Training-time augmentation (host side, static canvas — every
+        # variant keeps the same (img_size, img_size) shape so XLA compiles
+        # the train step exactly once; multi-scale comes from rescaling the
+        # CONTENT inside the fixed canvas, not from resizing the canvas).
+        self.augment = augment
+        self.seed = seed
+        self.epoch = 0  # trainer bumps this; per-item rng = f(seed, epoch, idx)
         self.samples: List[Dict] = []
         for intensity in ("low", "medium", "high"):
             hazy_dir = os.path.join(self.root_dir, intensity, "hazy")
@@ -70,6 +78,64 @@ class DetectionDataset:
     def __len__(self):
         return len(self.samples)
 
+    def _augment(self, raw, boxes, labels, idx: int):
+        """Deterministic per-(seed, epoch, idx) train-time augmentation.
+
+        Scale jitter rescales the CONTENT and pastes/crops it on the fixed
+        (img_size, img_size) canvas — multi-scale training without multiple
+        XLA programs (a resized canvas would trigger one remote compile per
+        size on axon). Plus horizontal flip and a mild photometric gain so
+        the clear-trained detector generalises to dehazed outputs, whose
+        global brightness differs slightly from ground-truth clear frames.
+        """
+        import cv2
+
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + idx)
+        size = self.img_size
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        lb = np.asarray(labels, np.int64).reshape(-1)
+
+        if rng.random() < 0.5:  # horizontal flip
+            raw = np.ascontiguousarray(raw[:, ::-1])
+            b = np.stack([size - b[:, 2], b[:, 1],
+                          size - b[:, 0], b[:, 3]], axis=1)
+
+        scale = float(rng.uniform(0.6, 1.2))
+        new = max(32, int(round(size * scale)))
+        if new != size:
+            content = cv2.resize(raw, (new, new))
+            b = b * (new / size)
+            if new < size:  # paste small content at a random offset
+                ox = int(rng.integers(0, size - new + 1))
+                oy = int(rng.integers(0, size - new + 1))
+                canvas = np.full((size, size, 3),
+                                 raw.mean(axis=(0, 1)), np.uint8)
+                canvas[oy:oy + new, ox:ox + new] = content
+                raw = canvas
+                b = b + np.array([ox, oy, ox, oy], np.float32)
+            else:  # random-crop a full-size window out of bigger content
+                ox = int(rng.integers(0, new - size + 1))
+                oy = int(rng.integers(0, new - size + 1))
+                raw = np.ascontiguousarray(
+                    content[oy:oy + size, ox:ox + size])
+                area0 = np.maximum(
+                    (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]), 1e-6)
+                b = b - np.array([ox, oy, ox, oy], np.float32)
+                b = np.stack([b[:, 0].clip(0, size), b[:, 1].clip(0, size),
+                              b[:, 2].clip(0, size), b[:, 3].clip(0, size)],
+                             axis=1)
+                vis = (b[:, 2] - b[:, 0]).clip(0) * \
+                    (b[:, 3] - b[:, 1]).clip(0)
+                keep = vis / area0 >= 0.25
+                b, lb = b[keep], lb[keep]
+
+        gain = float(rng.uniform(0.9, 1.1))
+        if abs(gain - 1.0) > 1e-3:
+            raw = np.clip(raw.astype(np.float32) * gain, 0, 255) \
+                .astype(np.uint8)
+        return raw, b.tolist(), lb.tolist()
+
     def load(self, idx: int) -> Dict:
         s = self.samples[idx]
         import cv2
@@ -83,9 +149,6 @@ class DetectionDataset:
         raw = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
         if (oh, ow) != (self.img_size, self.img_size):
             raw = cv2.resize(raw, (self.img_size, self.img_size))
-        # Fused native u8 -> ImageNet-normalised float32 (one pass).
-        img = normalize_u8(raw, mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                           n_threads=1)
         with open(s["annotation"]) as f:
             ann = json.load(f)
         boxes, labels = [], []
@@ -96,6 +159,11 @@ class DetectionDataset:
             # data/dataset.py:131-160).
             boxes.append([x * sx, y * sy, (x + w) * sx, (y + h) * sy])
             labels.append(obj["category_id"])
+        if self.augment:
+            raw, boxes, labels = self._augment(raw, boxes, labels, idx)
+        # Fused native u8 -> ImageNet-normalised float32 (one pass).
+        img = normalize_u8(raw, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                           n_threads=1)
         boxes_arr = np.zeros((self.max_boxes, 4), np.float32)
         labels_arr = np.zeros((self.max_boxes,), np.int32)
         n = min(len(boxes), self.max_boxes)
@@ -117,7 +185,9 @@ class DetectionDataset:
 def get_detection_dataloader(config, split: str = "test",
                              img_size: int = 512,
                              image_source: str = "hazy",
-                             shard_per_host: bool = True) -> DataLoader:
+                             shard_per_host: bool = True,
+                             augment: bool = False,
+                             shuffle: bool = False) -> DataLoader:
     """(reference: data/dataset.py:251-267; 512 is its fixed detection
     resolution, overridable here). `shard_per_host=False` gives every host
     the full dataset (evaluation entry points use it so COCO scoring sees
@@ -130,11 +200,13 @@ def get_detection_dataloader(config, split: str = "test",
         split=split,
         img_size=img_size,
         image_source=image_source,
+        augment=augment,
+        seed=config.get("seed", 0),
     )
     loader = DataLoader(
         ds, batch_size=max(config["dataset"]["batch_size"] // 2, 1),
-        shuffle=False, num_workers=config["dataset"]["num_workers"],
-        drop_remainder=False)
+        shuffle=shuffle, num_workers=config["dataset"]["num_workers"],
+        drop_remainder=shuffle)
     if not shard_per_host:
         return loader
     from adam_dehaze_tpu.parallel.multihost import shard_loader_for_host

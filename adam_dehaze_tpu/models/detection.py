@@ -41,13 +41,23 @@ _BACKBONES = {
     # (reference: config/config.yaml:67 'faster_rcnn_resnet50_fpn').
     "faster_rcnn_resnet50_fpn": resnet50,
     "faster_rcnn_mobilenet_v3_large_fpn": resnet18,
+    # torchvision-weight-compatible layout (see torchvision_compat below):
+    # resnet50 + 256-ch FPN P3-P7 + 4-conv GroupNorm towers, so a
+    # fcos_resnet50_fpn_coco .pth converts 1:1 via
+    # training.checkpoint.load_torch_fcos.
+    "tv_fcos_resnet50_fpn": resnet50,
 }
 
 
 class FPN(nn.Module):
-    """Top-down feature pyramid over backbone stages C3..C5 -> P3..P5."""
+    """Top-down feature pyramid over backbone stages C3..C5 -> P3..P5.
+
+    With `extra_levels=True` it additionally produces P6/P7 via stride-2
+    3x3 convs on P5 (and relu(P6)) — torchvision's LastLevelP6P7 with
+    use_P5=True, the configuration fcos_resnet50_fpn ships."""
     channels: int = 128
     dtype: Any = jnp.float32
+    extra_levels: bool = False
 
     @nn.compact
     def __call__(self, stages: Sequence[jax.Array]) -> List[jax.Array]:
@@ -60,38 +70,65 @@ class FPN(nn.Module):
         for lat in laterals[-2::-1]:
             up = jax.image.resize(outs[0], lat.shape, method="nearest")
             outs.insert(0, lat + up)
-        return [
+        smoothed = [
             nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name=f"smooth{i}")(o)
             for i, o in enumerate(outs)
         ]
+        if self.extra_levels:
+            p6 = nn.Conv(self.channels, (3, 3), (2, 2),
+                         padding=((1, 1), (1, 1)), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="p6")(smoothed[-1])
+            p7 = nn.Conv(self.channels, (3, 3), (2, 2),
+                         padding=((1, 1), (1, 1)), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="p7")(nn.relu(p6))
+            smoothed.extend([p6, p7])
+        return smoothed
 
 
 class FCOSHead(nn.Module):
-    """Shared head: class logits, box offsets (l,t,r,b >= 0), centerness."""
+    """Shared head: class logits, box offsets (l,t,r,b >= 0), centerness.
+
+    `tower_convs=4, group_norm=True, softplus=False` reproduces torchvision's
+    FCOSClassificationHead/FCOSRegressionHead tower structure (4x Conv3x3 +
+    GroupNorm(32) + ReLU; raw linear offsets), the layout `load_torch_fcos`
+    converts into. The native default (2 plain conv+relu, softplus offsets)
+    is lighter and keeps parity with round-1..3 checkpoints."""
     num_classes: int
     channels: int = 128
     dtype: Any = jnp.float32
+    tower_convs: int = 2
+    group_norm: bool = False
+    softplus: bool = True
 
     @nn.compact
     def __call__(self, feat: jax.Array):
         cls = feat
         reg = feat
-        for i in range(2):
-            cls = nn.relu(nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                                  dtype=self.dtype, param_dtype=jnp.float32,
-                                  name=f"cls{i}")(cls))
-            reg = nn.relu(nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                                  dtype=self.dtype, param_dtype=jnp.float32,
-                                  name=f"reg{i}")(reg))
+        for i in range(self.tower_convs):
+            cls = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"cls{i}")(cls)
+            reg = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"reg{i}")(reg)
+            if self.group_norm:
+                cls = nn.GroupNorm(32, dtype=self.dtype,
+                                   param_dtype=jnp.float32,
+                                   name=f"cls_gn{i}")(cls)
+                reg = nn.GroupNorm(32, dtype=self.dtype,
+                                   param_dtype=jnp.float32,
+                                   name=f"reg_gn{i}")(reg)
+            cls = nn.relu(cls)
+            reg = nn.relu(reg)
         logits = nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
                          dtype=self.dtype, param_dtype=jnp.float32,
                          bias_init=nn.initializers.constant(-4.0),
                          name="cls_out")(cls)
-        offsets = nn.softplus(
-            nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="reg_out")(reg))
+        raw = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="reg_out")(reg)
+        offsets = nn.softplus(raw) if self.softplus else raw
         centerness = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
                              dtype=self.dtype, param_dtype=jnp.float32,
                              name="ctr_out")(reg)
@@ -100,11 +137,20 @@ class FCOSHead(nn.Module):
 
 
 class FCOSDetector(nn.Module):
-    """Backbone + FPN + shared FCOS head over 3 pyramid levels."""
+    """Backbone + FPN + shared FCOS head over the pyramid levels.
+
+    `torchvision_compat=True` switches to torchvision's fcos_resnet50_fpn
+    geometry — 256-ch FPN over P3..P7 and 4-conv GroupNorm towers with raw
+    (linear) offsets — so converted COCO weights run unchanged. torchvision
+    normalises regression targets by anchor size, and its FCOS anchors have
+    size == stride per level, so pixel offsets are `raw * stride` in both
+    modes (reference consumes torchvision detectors the same frozen way,
+    models/detection.py:23-51)."""
     num_classes: int = 91
     backbone_name: str = "fcos_resnet18_fpn"
     channels: int = 128
     dtype: Any = jnp.float32
+    torchvision_compat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,9 +158,13 @@ class FCOSDetector(nn.Module):
                                                   return_stages=True)
         _, stages = backbone(x, train)
         # C3, C4, C5 (strides 8, 16, 32).
-        pyramid = FPN(self.channels, dtype=self.dtype)(stages[1:4])
-        head = FCOSHead(self.num_classes, self.channels, dtype=self.dtype)
-        strides = (8, 16, 32)
+        tv = self.torchvision_compat
+        pyramid = FPN(self.channels, dtype=self.dtype,
+                      extra_levels=tv)(stages[1:4])
+        head = FCOSHead(self.num_classes, self.channels, dtype=self.dtype,
+                        tower_convs=4 if tv else 2, group_norm=tv,
+                        softplus=not tv)
+        strides = (8, 16, 32, 64, 128) if tv else (8, 16, 32)
         outs = []
         for feat, stride in zip(pyramid, strides):
             logits, offsets, ctr = head(feat)
@@ -252,21 +302,35 @@ class DetectionModel:
     def __init__(self, num_classes: int = 91,
                  model_name: str = "fcos_resnet18_fpn",
                  score_threshold: float = 0.05, topk: int = 300,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, pretrained: Optional[str] = None):
         if model_name not in _BACKBONES:
             raise ValueError(f"Unsupported detection model: {model_name}")
+        tv = model_name.startswith("tv_")
         self.module = FCOSDetector(num_classes=num_classes,
-                                   backbone_name=model_name, dtype=dtype)
+                                   backbone_name=model_name, dtype=dtype,
+                                   channels=256 if tv else 128,
+                                   torchvision_compat=tv)
         self.model_name = model_name
         self.num_classes = num_classes
         self.score_threshold = score_threshold
         self.topk = topk
+        self.pretrained = pretrained
         self.variables = None
         self._forward = None
 
     def init(self, key, image_size: int = 512):
         dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
         self.variables = self.module.init(key, dummy)
+        if self.pretrained:
+            # Path to a CONVERTED orbax checkpoint (tools/
+            # convert_reference_checkpoint.py --kind fcos), mirroring the
+            # classifier.pretrained convention (train_classifier.py).
+            from adam_dehaze_tpu.training.checkpoint import load_checkpoint
+            restored, _metrics = load_checkpoint(self.pretrained,
+                                                 target=dict(self.variables))
+            self.variables = {"params": restored["params"],
+                              "batch_stats": restored["batch_stats"]}
+            print(f"Loaded pretrained detector from {self.pretrained}")
         self._forward = jax.jit(
             lambda v, x: _device_topk(self.module.apply(v, x), self.topk))
         return self.variables
@@ -312,11 +376,16 @@ class IntegratedDetectionSystem:
 def create_detection_model(config) -> DetectionModel:
     """(reference: models/detection.py:127-133)"""
     dtype = jnp.dtype(config.get("tpu", {}).get("compute_dtype", "float32"))
+    pretrained = config["detection"].get("pretrained")
     return DetectionModel(
         num_classes=config["detection"].get("num_classes", 91),
         model_name=config["detection"]["model"],
         score_threshold=config["detection"].get("score_threshold", 0.05),
         dtype=dtype,
+        # Reference semantics: `pretrained: true` means torchvision COCO
+        # weights; here it must be a PATH to the converted orbax checkpoint
+        # (a bare true has nothing to load from in this environment).
+        pretrained=pretrained if isinstance(pretrained, str) else None,
     )
 
 

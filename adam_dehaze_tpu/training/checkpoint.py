@@ -777,3 +777,96 @@ def load_torch_lpips(pth_path_or_sd, flax_params):
                 _set(inner, (f"lin{i}",), w)
                 break
     return params
+
+
+def load_torch_fcos(pth_path_or_sd, detector_variables):
+    """Convert a torchvision `fcos_resnet50_fpn` state_dict into variables
+    for FCOSDetector(torchvision_compat=True) (models/detection.py).
+
+    The reference loads its detector pretrained from torchvision and freezes
+    it (reference: models/detection.py:23-51); this is the TPU-side of that
+    path for the day COCO weights are available in the environment. Layout
+    handled:
+
+    - backbone.body.*            -> ResNet_0 (bottleneck resnet50)
+    - backbone.fpn.inner_blocks  -> FPN_0.lateral{i}   (flat or nested .0 keys)
+    - backbone.fpn.layer_blocks  -> FPN_0.smooth{i}
+    - backbone.fpn.extra_blocks.p6/p7 -> FPN_0.p6/p7
+    - head.classification_head.conv + cls_logits -> FCOSHead_0.cls{i}/
+      cls_gn{i}/cls_out; head.regression_head.conv + bbox_reg/bbox_ctrness
+      -> reg{i}/reg_gn{i}/reg_out/ctr_out
+
+    torchvision's BoxLinearCoder(normalize_by_size=True) with per-level
+    anchor size == stride makes its raw offsets x stride equal our decode's
+    pixel offsets, so no weight rescaling is needed.
+
+    Returns {"params": ..., "batch_stats": ...} deep copies.
+    """
+    import copy
+    sd = (_torch_state_dict(pth_path_or_sd) if isinstance(pth_path_or_sd, str)
+          else pth_path_or_sd)
+    params = copy.deepcopy(jax.tree_util.tree_map(
+        np.asarray, detector_variables["params"]))
+    stats = copy.deepcopy(jax.tree_util.tree_map(
+        np.asarray, detector_variables["batch_stats"]))
+
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    params["ResNet_0"], stats["ResNet_0"] = load_torch_resnet(
+        body, params["ResNet_0"], stats["ResNet_0"],
+        stage_sizes=(3, 4, 6, 3), bottleneck=True)
+
+    def conv_wb(prefix):
+        """Fetch (weight, bias) accepting both the flat (`prefix.weight`)
+        and the Conv2dNormActivation-nested (`prefix.0.weight`) key forms
+        torchvision has shipped across versions."""
+        for p in (prefix, f"{prefix}.0"):
+            if f"{p}.weight" in sd:
+                return sd[f"{p}.weight"], sd.get(f"{p}.bias")
+        raise KeyError(f"no conv weight under {prefix}")
+
+    fpn = params["FPN_0"]
+    for i in range(3):
+        w, b = conv_wb(f"backbone.fpn.inner_blocks.{i}")
+        _set(fpn, (f"lateral{i}", "kernel"), convert_torch_conv(w))
+        _set(fpn, (f"lateral{i}", "bias"), b)
+        w, b = conv_wb(f"backbone.fpn.layer_blocks.{i}")
+        _set(fpn, (f"smooth{i}", "kernel"), convert_torch_conv(w))
+        _set(fpn, (f"smooth{i}", "bias"), b)
+    for lvl in ("p6", "p7"):
+        w, b = conv_wb(f"backbone.fpn.extra_blocks.{lvl}")
+        _set(fpn, (lvl, "kernel"), convert_torch_conv(w))
+        _set(fpn, (lvl, "bias"), b)
+
+    head = params["FCOSHead_0"]
+
+    def tower(torch_prefix, conv_fmt, gn_fmt):
+        # Tower Sequential comes in two historical layouts: nested
+        # (conv.{i}.0 conv + conv.{i}.1 GN) and flat interleaved
+        # (conv.{3i} conv + conv.{3i+1} GN + ReLU).
+        nested = f"{torch_prefix}.conv.0.0.weight" in sd
+        for i in range(4):
+            cw = f"{torch_prefix}.conv.{i}.0" if nested \
+                else f"{torch_prefix}.conv.{3 * i}"
+            gn = f"{torch_prefix}.conv.{i}.1" if nested \
+                else f"{torch_prefix}.conv.{3 * i + 1}"
+            _set(head, (conv_fmt.format(i), "kernel"),
+                 convert_torch_conv(sd[f"{cw}.weight"]))
+            _set(head, (conv_fmt.format(i), "bias"), sd[f"{cw}.bias"])
+            _set(head, (gn_fmt.format(i), "scale"), sd[f"{gn}.weight"])
+            _set(head, (gn_fmt.format(i), "bias"), sd[f"{gn}.bias"])
+
+    tower("head.classification_head", "cls{}", "cls_gn{}")
+    tower("head.regression_head", "reg{}", "reg_gn{}")
+    _set(head, ("cls_out", "kernel"),
+         convert_torch_conv(sd["head.classification_head.cls_logits.weight"]))
+    _set(head, ("cls_out", "bias"),
+         sd["head.classification_head.cls_logits.bias"])
+    _set(head, ("reg_out", "kernel"),
+         convert_torch_conv(sd["head.regression_head.bbox_reg.weight"]))
+    _set(head, ("reg_out", "bias"), sd["head.regression_head.bbox_reg.bias"])
+    _set(head, ("ctr_out", "kernel"),
+         convert_torch_conv(sd["head.regression_head.bbox_ctrness.weight"]))
+    _set(head, ("ctr_out", "bias"),
+         sd["head.regression_head.bbox_ctrness.bias"])
+    return {"params": params, "batch_stats": stats}

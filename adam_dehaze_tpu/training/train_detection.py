@@ -40,12 +40,18 @@ def sigmoid_focal_loss(logits, targets, alpha: float = 0.25,
 
 
 def _assign_level(boxes, labels, n_boxes, h, w, stride, level_range,
-                  num_classes):
+                  num_classes, center_radius: float = 1.5):
     """FCOS target assignment for one pyramid level.
 
     boxes: (M, 4) xyxy padded; labels: (M,); n_boxes: scalar.
     Returns (cls_target (H, W, C), box_target (H, W, 4), ctr_target (H, W),
              pos_mask (H, W)).
+
+    Center sampling (FCOS-improvements): a location is positive only if it
+    also lies within `center_radius * stride` of the box center, which keeps
+    low-centerness edge locations out of the positive set — markedly better
+    assignment when boxes overlap (the torchvision FCOS the reference's
+    detector family ships uses the same rule, radius 1.5).
     """
     ys = (jnp.arange(h) + 0.5) * stride
     xs = (jnp.arange(w) + 0.5) * stride
@@ -63,7 +69,12 @@ def _assign_level(boxes, labels, n_boxes, h, w, stride, level_range,
     inside = jnp.min(ltrb, axis=-1) > 0
     max_off = jnp.max(ltrb, axis=-1)
     in_range = (max_off >= level_range[0]) & (max_off <= level_range[1])
-    candidate = inside & in_range & valid[None, None, :]
+    bcx = 0.5 * (x1 + x2)
+    bcy = 0.5 * (y1 + y2)
+    rad = center_radius * stride
+    near_center = (jnp.abs(cx[..., None] - bcx) <= rad) & \
+        (jnp.abs(cy[..., None] - bcy) <= rad)
+    candidate = inside & near_center & in_range & valid[None, None, :]
 
     area = (x2 - x1) * (y2 - y1)
     big = 1e18
@@ -101,15 +112,44 @@ def _iou_loss(pred_ltrb, target_ltrb):
     return -jnp.log(jnp.clip(iou, 1e-6, 1.0))
 
 
+def _giou_loss(pred_ltrb, target_ltrb):
+    """1 - GIoU for center-offset boxes sharing an anchor point.
+
+    Generalised IoU adds a penalty proportional to the empty fraction of the
+    smallest enclosing box, giving useful gradients even when prediction and
+    target barely overlap — unlike -log(IoU), which saturates. This is the
+    regression loss of the FCOS-improvements recipe."""
+    pl_, pt, pr, pb = [pred_ltrb[..., i] for i in range(4)]
+    tl, tt, tr, tb = [target_ltrb[..., i] for i in range(4)]
+    p_area = (pl_ + pr) * (pt + pb)
+    t_area = (tl + tr) * (tt + tb)
+    iw = jnp.minimum(pl_, tl) + jnp.minimum(pr, tr)
+    ih = jnp.minimum(pt, tt) + jnp.minimum(pb, tb)
+    inter = jnp.clip(iw, 0) * jnp.clip(ih, 0)
+    union = p_area + t_area - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+    ew = jnp.maximum(pl_, tl) + jnp.maximum(pr, tr)
+    eh = jnp.maximum(pt, tt) + jnp.maximum(pb, tb)
+    enclose = jnp.maximum(ew * eh, 1e-6)
+    giou = iou - (enclose - union) / enclose
+    return 1.0 - giou
+
+
 def fcos_loss(level_outputs: Sequence[Dict], boxes, labels, n_boxes,
               num_classes: int):
     """Total FCOS loss over pyramid levels for a batch.
 
-    boxes: (B, M, 4); labels: (B, M); n_boxes: (B,)."""
+    boxes: (B, M, 4); labels: (B, M); n_boxes: (B,).
+
+    Normalisation follows the FCOS-improvements recipe: classification and
+    centerness by the positive count; the GIoU regression term is weighted by
+    the centerness target and normalised by its sum, so well-centred
+    locations dominate the box gradient."""
     total_cls = 0.0
     total_box = 0.0
     total_ctr = 0.0
     total_pos = 0.0
+    total_ctr_w = 0.0
     for lvl, rng in zip(level_outputs, _LEVEL_RANGES):
         logits = lvl["logits"]
         offsets = lvl["offsets"]
@@ -121,16 +161,21 @@ def fcos_loss(level_outputs: Sequence[Dict], boxes, labels, n_boxes,
         cls_t, box_t, ctr_t, pos = assign(boxes, labels, n_boxes)
         total_cls = total_cls + jnp.sum(sigmoid_focal_loss(logits, cls_t))
         posf = pos.astype(jnp.float32)
-        total_box = total_box + jnp.sum(_iou_loss(offsets, box_t) * posf)
+        total_box = total_box + jnp.sum(
+            _giou_loss(offsets, box_t) * ctr_t * posf)
         total_ctr = total_ctr + jnp.sum(
             optax.sigmoid_binary_cross_entropy(ctr_logits, ctr_t) * posf)
         total_pos = total_pos + jnp.sum(posf)
+        total_ctr_w = total_ctr_w + jnp.sum(ctr_t * posf)
     n_pos = jnp.maximum(total_pos, 1.0)
+    cls = total_cls / n_pos
+    box = total_box / jnp.maximum(total_ctr_w, 1e-6)
+    ctr = total_ctr / n_pos
     return {
-        "cls": total_cls / n_pos,
-        "box": total_box / n_pos,
-        "ctr": total_ctr / n_pos,
-        "total": (total_cls + total_box + total_ctr) / n_pos,
+        "cls": cls,
+        "box": box,
+        "ctr": ctr,
+        "total": cls + box + ctr,
         "n_pos": total_pos,
     }
 
@@ -177,13 +222,31 @@ def train_detection(config, epochs: int = None, resume: bool = False,
     # detector, and dehazing should recover mAP — training on hazy frames
     # would instead make haze in-distribution and invert the comparison.
     loader = get_detection_dataloader(config, split="train", img_size=img_size,
-                                      image_source="clear")
+                                      image_source="clear", augment=True,
+                                      shuffle=True)
     step = make_detection_train_step(det.module, tx)
     logger = MetricsLogger(os.path.join(config.get("_logs_dir", "logs"),
                                         "detection"))
     ckpt_dir = config["detection"]["checkpoint_dir"]
     epochs = epochs if epochs is not None else 1
+    base_lr = float(config["detection"]["learning_rate"])
+    from adam_dehaze_tpu.training.state import set_learning_rate
     for epoch in range(epochs):
+        # One-epoch linear warmup then cosine decay to 5% — from-scratch
+        # detector training is warmup-sensitive (focal-loss prior bias aside,
+        # early GIoU gradients on random offsets are large).
+        if epochs > 1:
+            if epoch == 0:
+                lr = base_lr * 0.3
+            else:
+                t = (epoch - 1) / max(epochs - 1, 1)
+                lr = base_lr * (0.05 + 0.95 * 0.5 *
+                                (1 + float(np.cos(np.pi * t))))
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
+        # Reseed per-item augmentation (reach through a host-shard view).
+        ds = getattr(loader.dataset, "base", loader.dataset)
+        ds.epoch = epoch
         tots: List[float] = []
         for batch in loader:
             b = device_batch(batch)

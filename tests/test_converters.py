@@ -218,3 +218,112 @@ def test_load_checkpoint_cross_device_fallback(tmp_path, monkeypatch):
         ckpt.load_checkpoint(
             path, {"params": {"w": np.zeros((3, 2), np.float32)},
                    "step": np.int32(0)})
+
+
+def _tv_fcos_state_dict(rng, nested: bool = True):
+    """Synthetic state dict with torchvision fcos_resnet50_fpn's exact key
+    layout and shapes (random values — the real .pth is egress-blocked; the
+    converter is layout-tested the same way the other pretrained surfaces
+    are)."""
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    def add_bn(prefix, c):
+        add(f"{prefix}.weight", c)
+        add(f"{prefix}.bias", c)
+        add(f"{prefix}.running_mean", c)
+        sd[f"{prefix}.running_var"] = np.abs(
+            rng.standard_normal((c,)).astype(np.float32)) + 1.0
+
+    add("backbone.body.conv1.weight", 64, 3, 7, 7)
+    add_bn("backbone.body.bn1", 64)
+    stage_sizes = (3, 4, 6, 3)
+    cin = 64
+    for li, n_blocks in enumerate(stage_sizes, start=1):
+        mid = 64 * 2 ** (li - 1)
+        out = mid * 4
+        for b in range(n_blocks):
+            tp = f"backbone.body.layer{li}.{b}"
+            add(f"{tp}.conv1.weight", mid, cin, 1, 1)
+            add_bn(f"{tp}.bn1", mid)
+            add(f"{tp}.conv2.weight", mid, mid, 3, 3)
+            add_bn(f"{tp}.bn2", mid)
+            add(f"{tp}.conv3.weight", out, mid, 1, 1)
+            add_bn(f"{tp}.bn3", out)
+            if b == 0:
+                add(f"{tp}.downsample.0.weight", out, cin, 1, 1)
+                add_bn(f"{tp}.downsample.1", out)
+            cin = out
+
+    for i, c in enumerate((512, 1024, 2048)):
+        ib = f"backbone.fpn.inner_blocks.{i}" + (".0" if nested else "")
+        add(f"{ib}.weight", 256, c, 1, 1)
+        add(f"{ib}.bias", 256)
+        lb = f"backbone.fpn.layer_blocks.{i}" + (".0" if nested else "")
+        add(f"{lb}.weight", 256, 256, 3, 3)
+        add(f"{lb}.bias", 256)
+    for lvl in ("p6", "p7"):
+        add(f"backbone.fpn.extra_blocks.{lvl}.weight", 256, 256, 3, 3)
+        add(f"backbone.fpn.extra_blocks.{lvl}.bias", 256)
+
+    for headname in ("classification_head", "regression_head"):
+        for i in range(4):
+            cw = (f"head.{headname}.conv.{i}.0" if nested
+                  else f"head.{headname}.conv.{3 * i}")
+            gn = (f"head.{headname}.conv.{i}.1" if nested
+                  else f"head.{headname}.conv.{3 * i + 1}")
+            add(f"{cw}.weight", 256, 256, 3, 3)
+            add(f"{cw}.bias", 256)
+            add(f"{gn}.weight", 256)
+            add(f"{gn}.bias", 256)
+    add("head.classification_head.cls_logits.weight", 91, 256, 3, 3)
+    add("head.classification_head.cls_logits.bias", 91)
+    add("head.regression_head.bbox_reg.weight", 4, 256, 3, 3)
+    add("head.regression_head.bbox_reg.bias", 4)
+    add("head.regression_head.bbox_ctrness.weight", 1, 256, 3, 3)
+    add("head.regression_head.bbox_ctrness.bias", 1)
+    return sd
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nested", [True, False])
+def test_load_torch_fcos_layout(nested):
+    """tv-compat FCOSDetector accepts a torchvision-layout state dict in both
+    historical Sequential key forms; forward over the converted tree yields
+    5 pyramid levels with finite outputs."""
+    import jax
+    import jax.numpy as jnp
+    from adam_dehaze_tpu.models.detection import FCOSDetector
+    from adam_dehaze_tpu.training.checkpoint import (convert_torch_conv,
+                                                     load_torch_fcos)
+
+    rng = np.random.default_rng(0 if nested else 1)
+    sd = _tv_fcos_state_dict(rng, nested=nested)
+    module = FCOSDetector(num_classes=91,
+                          backbone_name="tv_fcos_resnet50_fpn",
+                          channels=256, torchvision_compat=True)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    tree = load_torch_fcos(sd, variables)
+
+    # Spot-check weight routing (cls tower conv 2 and the P6 conv).
+    cw_key = ("head.classification_head.conv.2.0.weight" if nested
+              else "head.classification_head.conv.6.weight")
+    np.testing.assert_array_equal(
+        tree["params"]["FCOSHead_0"]["cls2"]["kernel"],
+        convert_torch_conv(sd[cw_key]))
+    np.testing.assert_array_equal(
+        tree["params"]["FPN_0"]["p6"]["kernel"],
+        convert_torch_conv(sd["backbone.fpn.extra_blocks.p6.weight"]))
+    np.testing.assert_array_equal(
+        tree["batch_stats"]["ResNet_0"]["BatchNorm_0"]["mean"],
+        sd["backbone.body.bn1.running_mean"])
+
+    outs = module.apply(tree, x)
+    assert [o["stride"] for o in outs] == [8, 16, 32, 64, 128]
+    for o in outs:
+        assert o["logits"].shape[-1] == 91
+        assert o["offsets"].shape[-1] == 4
+        assert np.isfinite(np.asarray(o["logits"])).all()

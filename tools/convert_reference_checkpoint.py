@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--kind", required=True,
                    choices=["resnet18", "resnet34", "resnet50", "vgg16",
                             "lpips", "alexnet", "classifier", "branch",
-                            "joint"])
+                            "joint", "fcos"])
     p.add_argument("--pth", required=True, help="Path to the torch .pth")
     p.add_argument("--out", required=True, help="Output orbax checkpoint dir")
     p.add_argument("--image_size", type=int, default=64,
@@ -122,6 +122,20 @@ def main(argv=None):
         variables = net.init(key, dummy, dummy)
         convert = load_torch_lpips if args.kind == "lpips" else load_torch_alexnet
         tree = convert(args.pth, variables)
+    elif args.kind == "fcos":
+        # torchvision fcos_resnet50_fpn_coco .pth -> our tv-compat detector
+        # (models/detection.py FCOSDetector(torchvision_compat=True)). Use
+        # with detection.model: tv_fcos_resnet50_fpn and
+        # detection.pretrained: <out path> in the config.
+        from adam_dehaze_tpu.models.detection import FCOSDetector
+        from adam_dehaze_tpu.training.checkpoint import load_torch_fcos
+        module = FCOSDetector(num_classes=91,
+                              backbone_name="tv_fcos_resnet50_fpn",
+                              channels=256, torchvision_compat=True)
+        size = max(args.image_size, 128)  # P7 needs >= 128 px
+        variables = module.init(
+            key, jnp.zeros((1, size, size, 3), jnp.float32))
+        tree = load_torch_fcos(args.pth, variables)
 
     out_dir = os.path.dirname(os.path.abspath(args.out)) or "."
     name = os.path.basename(args.out)
