@@ -37,23 +37,28 @@ class ImageQualityMetrics:
     LPIPS honesty: without converted weights (lpips_params/lpips_weights)
     the perceptual distance runs on a random-init AlexNet trunk with uniform
     heads — a monotone surrogate, NOT the published LPIPS scale — so it is
-    reported as `lpips_uncal`. Only calibrated weights earn the `lpips` key
-    (the reference always uses the lpips package's pretrained net,
-    metrics.py:44)."""
+    reported as `lpips_uncal`. Heads fitted in-env on synthetic ranked
+    distortions (tools/calibrate_lpips.py; checkpoint sidecar marks
+    `calibration_synthetic`) report `lpips_cal_synth`. Only real converted
+    lpips-package weights earn the bare `lpips` key (the reference always
+    uses the lpips package's pretrained net, metrics.py:44)."""
 
     def __init__(self, lpips_params=None, image_shape=(1, 64, 64, 3),
                  lpips_weights: Optional[str] = None):
         self.lpips_net = LPIPS()
         calibrated = lpips_params is not None or lpips_weights is not None
+        synth_cal = False
         if lpips_params is None:
             dummy = jnp.zeros(image_shape, jnp.float32)
             lpips_params = self.lpips_net.init(jax.random.PRNGKey(0), dummy, dummy)
             if lpips_weights:
                 from adam_dehaze_tpu.training.checkpoint import load_checkpoint
-                lpips_params, _ = load_checkpoint(lpips_weights,
-                                                  dict(lpips_params))
+                lpips_params, wmeta = load_checkpoint(lpips_weights,
+                                                      dict(lpips_params))
+                synth_cal = bool(wmeta.get("calibration_synthetic"))
         self.lpips_params = lpips_params
-        self.lpips_key = "lpips" if calibrated else "lpips_uncal"
+        self.lpips_key = ("lpips_cal_synth" if synth_cal
+                          else "lpips" if calibrated else "lpips_uncal")
         self.results: Dict[str, List[Dict[str, float]]] = defaultdict(list)
 
         @jax.jit
