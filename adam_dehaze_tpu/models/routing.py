@@ -261,7 +261,9 @@ class BinnedAdaptiveEngine:
     def _bucket(self, n: int) -> int:
         return bucket_for(n, self.buckets)
 
-    def plan_capacity_spill(self, intensity, logits=None):
+    def plan_capacity_spill(self, intensity, logits=None,
+                            up_only: bool = False,
+                            margin_threshold: float = None):
         """Capacity-constrained routing plan (MoE capacity-factor style).
 
         Real classifier traffic is never exactly balanced: one extra image
@@ -285,6 +287,19 @@ class BinnedAdaptiveEngine:
         balanced-traffic cost regardless of classifier skew. Trade-off is
         explicit and opt-in (`spill=True` in `__call__`): overflow images
         get a quality-degraded branch; fidelity mode pays the extra bucket.
+
+        `up_only=True` is the QUALITY-GUARDED variant (round-4 fix for the
+        r3 spill-steady -1.2 dB): overflow may only move to STRONGER
+        branches — top-class overflow, which previously down-spilled heavy
+        fog onto the medium branch (the dominant quality loss: each branch
+        trains only on its own regime), keeps its predicted class and pays a
+        small planned bucket instead. `margin_threshold` additionally gates
+        eligibility: only images whose logit gap toward the target class is
+        below the threshold (near-boundary images, nearly in the stronger
+        branch's training distribution) may spill; the rest stay. Unspilled
+        overflow is served by plan_chunks' cheapest program split, so cost
+        degrades gracefully toward fidelity instead of quality degrading
+        toward the wrong branch.
         """
         import numpy as np
         intensity = np.asarray(intensity)
@@ -301,7 +316,8 @@ class BinnedAdaptiveEngine:
             if free[c] >= 0:
                 continue
             pool = list(np.nonzero(intensity == c)[0])
-            targets = list(range(c + 1, k)) + list(range(c - 1, -1, -1))
+            targets = (list(range(c + 1, k)) if up_only else
+                       list(range(c + 1, k)) + list(range(c - 1, -1, -1)))
             for t in targets:
                 overflow = -free[c]
                 if overflow <= 0 or free[t] <= 0:
@@ -311,6 +327,14 @@ class BinnedAdaptiveEngine:
                     lg = np.asarray(logits)
                     # closest to the target class first
                     pool.sort(key=lambda i: lg[i, t] - lg[i, c])
+                    if margin_threshold is not None:
+                        # eligible = logit gap toward target below threshold
+                        eligible = sum(
+                            1 for i in pool
+                            if lg[i, c] - lg[i, t] < margin_threshold)
+                        m = int(min(m, eligible))
+                        if m <= 0:
+                            continue
                 chosen, pool = pool[-m:], pool[:-m]
                 labels_eff[np.asarray(chosen, np.int64)] = t
                 free[t] -= m
@@ -360,9 +384,11 @@ class BinnedAdaptiveEngine:
         e.g. for oracle-routed evaluation). spill=True serves overflow
         images beyond per-class bucket capacity with a neighboring branch
         (`plan_capacity_spill`) so skewed traffic never pays an extra
-        padded bucket program; the returned labels stay the CLASSIFIER's
-        predictions (the spill is a serving-cost policy, not a routing
-        decision change)."""
+        padded bucket program; spill="up" restricts moves to stronger
+        branches (the quality-guarded variant — unspilled overflow pays a
+        planned small bucket instead). The returned labels stay the
+        CLASSIFIER's predictions (the spill is a serving-cost policy, not a
+        routing decision change)."""
         import numpy as np
         x = jnp.asarray(x)
         logits = self._logits(x) if spill and intensity is None else None
@@ -377,7 +403,8 @@ class BinnedAdaptiveEngine:
             # bench rows stay comparable.
             self._classify(x)
             intensity = np.asarray(intensity)
-        serve_labels = (self.plan_capacity_spill(intensity, logits)
+        serve_labels = (self.plan_capacity_spill(intensity, logits,
+                                                 up_only=(spill == "up"))
                         if spill else intensity)
         return self._dispatch(x, serve_labels), intensity
 

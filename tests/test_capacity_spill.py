@@ -234,3 +234,50 @@ def test_sharded_binned_spill_is_device_local(key):
         shard = served[d * per_dev:(d + 1) * per_dev]
         np.testing.assert_array_equal(np.bincount(shard, minlength=3),
                                       [2, 2, 2])
+
+
+def _spill_engine():
+    """Engine with bucket 2 -> per-class cap 2 on a 6-image batch."""
+    return BinnedAdaptiveEngine(_classifier_from_labels([0] * 6),
+                                _const_applies(), buckets=(2,))
+
+
+def test_spill_up_only_never_downgrades():
+    """up_only: overflow may move only to STRONGER branches; top-class
+    overflow keeps its predicted class (r4 quality guard)."""
+    eng = _spill_engine()
+    # 6 high (class 2) in a batch of 6, cap = 2 -> 4 overflow, nowhere up.
+    labels = np.array([2, 2, 2, 2, 2, 2])
+    out = eng.plan_capacity_spill(labels, up_only=True)
+    np.testing.assert_array_equal(out, labels)
+    # Overload low (class 0): overflow moves UP into medium/high free slots.
+    labels = np.array([0, 0, 0, 0, 0, 1])
+    out = eng.plan_capacity_spill(labels, up_only=True)
+    assert (out >= labels).all()          # only upward moves
+    assert (out != labels).sum() > 0      # something spilled
+    counts = np.bincount(out, minlength=3)
+    assert counts[0] <= 2                 # capacity respected
+
+
+def test_spill_margin_threshold_gates_eligibility():
+    eng = _spill_engine()
+    labels = np.array([0, 0, 0, 1, 2, 2])
+    # logits: images 0-2 predicted low; image 1 is near-boundary toward
+    # medium (gap 0.5), the others are confident (gap 10).
+    logits = np.array([
+        [10.0, 0.0, -5.0],
+        [5.0, 4.5, -5.0],
+        [10.0, 0.0, -5.0],
+        [0.0, 10.0, -5.0],
+        [-5.0, 0.0, 10.0],
+        [-5.0, 0.0, 10.0],
+    ])
+    out = eng.plan_capacity_spill(labels, logits, up_only=True,
+                                  margin_threshold=1.0)
+    # only the near-boundary image may spill
+    moved = np.nonzero(out != labels)[0]
+    assert list(moved) == [1]
+    # threshold 0 (nobody eligible) -> no moves at all
+    out0 = eng.plan_capacity_spill(labels, logits, up_only=True,
+                                   margin_threshold=0.0)
+    np.testing.assert_array_equal(out0, labels)
