@@ -281,3 +281,26 @@ def test_spill_margin_threshold_gates_eligibility():
     out0 = eng.plan_capacity_spill(labels, logits, up_only=True,
                                    margin_threshold=0.0)
     np.testing.assert_array_equal(out0, labels)
+
+
+def test_margin_up_route_policy():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from probe_margin_routing import margin_up_route
+
+    logits = np.array([
+        [10.0, 0.0, -5.0],   # confident low -> stays
+        [5.0, 4.8, -5.0],    # near-boundary low/medium -> bumps to medium
+        [-5.0, 4.9, 5.0],    # confident high (gap n/a upward) -> stays
+        [-5.0, 5.0, 4.9],    # near-boundary medium/high -> bumps to high
+    ])
+    out = margin_up_route(logits, tau=0.5)
+    np.testing.assert_array_equal(out, [0, 1, 2, 2])
+    # tau=0: plain argmax
+    np.testing.assert_array_equal(margin_up_route(logits, 0.0),
+                                  logits.argmax(1))
+    # top class can never route up
+    np.testing.assert_array_equal(
+        margin_up_route(np.array([[0.0, 0.1, 0.2]]), 100.0), [2])

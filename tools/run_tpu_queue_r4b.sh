@@ -40,6 +40,12 @@ timeout 3600 python tools/calibrate_lpips.py \
     --corpus data/synthetic_corpus_v2 --out "$EXP/lpips_cal" \
     > logs/lpips_cal_r4.log 2>&1
 
+# --- 2b. margin-aware up-routing probe (val-calibrated tau, test report) ---
+timeout 3600 python tools/probe_margin_routing.py --experiment "$EXP" \
+    > logs/margin_routing_r4.log 2>&1
+cp "$EXP/margin_routing.json" \
+    benchmarks/round_results/margin_routing_r4.json 2>/dev/null
+
 # --- 3. autotunes (timing phases: host must stay idle) ---
 touch /tmp/queue_timing_phase
 timeout 5400 python tools/autotune_serving.py --experiment "$EXP" \
