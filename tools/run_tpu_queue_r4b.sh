@@ -81,4 +81,20 @@ if [ -n "$BLINE" ]; then
 else
     echo "ERROR: no bench line in logs/bench_r4b.log" >&2
 fi
+# --- 6. commit-able artifacts from gitignored logs/experiments ---
+grep -h "\[joint\]" logs/joint_hard_r4.log \
+    > benchmarks/round_results/joint_hard_r4.txt 2>/dev/null || true
+grep -h "\[joint\]" logs/train_all_r4a.log | tail -n 20 \
+    > benchmarks/round_results/joint_soft_r4a.txt 2>/dev/null || true
+grep -h "\[detection\]\|hard routing\|BASELINE" logs/train_detection_r4.log \
+    logs/evaluate_r4.log > benchmarks/round_results/eval_r4_summary.txt \
+    2>/dev/null || true
+tail -n 5 logs/lpips_cal_r4.log \
+    > benchmarks/round_results/lpips_cal_r4.txt 2>/dev/null || true
+cp "$EXP/resolution_policy.json" \
+    benchmarks/round_results/resolution_policy_r4.json 2>/dev/null || true
+cp "$EXP/serving_autotune.json" \
+    benchmarks/round_results/serving_autotune_r4.json 2>/dev/null || true
+cp benchmarks/flops_audit.json \
+    benchmarks/round_results/flops_audit_r4.json 2>/dev/null || true
 echo "QUEUE_R4B DONE"
