@@ -224,11 +224,22 @@ def train_detection(config, epochs: int = None, resume: bool = False,
     loader = get_detection_dataloader(config, split="train", img_size=img_size,
                                       image_source="clear", augment=True,
                                       shuffle=True)
+    val_loader = get_detection_dataloader(config, split="val",
+                                          img_size=img_size,
+                                          image_source="clear")
     step = make_detection_train_step(det.module, tx)
+
+    @jax.jit
+    def val_step(params, batch_stats, batch):
+        outs = det.module.apply({"params": params,
+                                 "batch_stats": batch_stats}, batch["hazy"])
+        return fcos_loss(outs, batch["boxes"], batch["labels"],
+                         batch["n_boxes"], det.module.num_classes)["total"]
     logger = MetricsLogger(os.path.join(config.get("_logs_dir", "logs"),
                                         "detection"))
     ckpt_dir = config["detection"]["checkpoint_dir"]
     epochs = epochs if epochs is not None else 1
+    best_val = float("nan")
     base_lr = float(config["detection"]["learning_rate"])
     from adam_dehaze_tpu.training.state import set_learning_rate
     for epoch in range(epochs):
@@ -253,10 +264,28 @@ def train_detection(config, epochs: int = None, resume: bool = False,
             state, losses = step(state, b)
             tots.append(float(losses["total"]))
         avg = float(np.mean(tots)) if tots else float("nan")
-        logger.scalars(epoch, {"train/loss": avg})
-        print(f"[detection] Epoch {epoch + 1}/{epochs}: loss={avg:.4f}")
-        ckpt.save_checkpoint(ckpt_dir, "best_model", state_to_tree(state),
-                             {"epoch": epoch + 1, "loss": avg})
+        vals = [float(val_step(state.params, state.batch_stats,
+                               device_batch(b))) for b in val_loader]
+        val_loss = float(np.mean(vals)) if vals else float("nan")
+        logger.scalars(epoch, {"train/loss": avg, "val/loss": val_loss})
+        print(f"[detection] Epoch {epoch + 1}/{epochs}: loss={avg:.4f} "
+              f"val_loss={val_loss:.4f}")
+        # Best-by-val-loss selection (the trainers' shared convention,
+        # reference train_classifier.py:149-155); epoch checkpoints for
+        # resume forensics.
+        if not np.isfinite(best_val) or (np.isfinite(val_loss)
+                                         and val_loss < best_val):
+            best_val = val_loss
+            ckpt.save_checkpoint(ckpt_dir, "best_model", state_to_tree(state),
+                                 {"epoch": epoch + 1, "loss": avg,
+                                  "val_loss": val_loss})
+    # Reload the best epoch (the live state was donated by later steps, so
+    # restore from the checkpoint rather than holding a stale reference).
+    from adam_dehaze_tpu.training.common import tree_to_state
+    best = ckpt.best_model_path(ckpt_dir)
+    if os.path.isdir(best):
+        tree, _ = ckpt.load_checkpoint(best, state_to_tree(state))
+        state = tree_to_state(state, tree)
     det.variables = {"params": state.params, "batch_stats": state.batch_stats}
     logger.close()
     return det, state

@@ -61,10 +61,17 @@ def test_run_comprehensive_evaluation(synth_root, tmp_path):
     # Reference JSON schema (reference: evaluate.py:522-538) + the fixed-
     # pipeline rows (adaptive-vs-fixed framing, reference README.md:146-149).
     assert set(results) == {"baseline", "joint", "fixed", "hard_routing",
-                            "detection", "comparison"}
+                            "detection", "comparison", "baseline_comparison"}
     assert "psnr_improvement" in results["comparison"]
-    assert {"fidelity", "spill", "routing_acc",
-            "spilled_frac"} <= set(results["hard_routing"])
+    # Reference-rows side-by-side block (BASELINE.md / README.md:129-131).
+    bc = results["baseline_comparison"]
+    assert bc["rows"] and all(
+        {"reference", "ours", "delta"} <= set(r) for r in bc["rows"].values())
+    # No-reference FADE analog on hazy vs dehazed (honest proxy label).
+    assert {"hazy", "dehazed", "reduction_pct"} <= set(
+        results["joint"]["fade_proxy"])
+    assert {"fidelity", "spill", "spill_up", "routing_acc",
+            "spilled_frac", "spilled_frac_up"} <= set(results["hard_routing"])
     assert "improvement_percent" in results["detection"]
     assert set(results["fixed"]) == {"fixed_low", "fixed_medium", "fixed_high"}
     for row in results["fixed"].values():
