@@ -34,6 +34,11 @@ def main():
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--data", default="data/synthetic_corpus")
     p.add_argument("--level", default="medium")
+    p.add_argument("--lpips-weights", default=None,
+                   help="Calibrated LPIPS head checkpoint "
+                        "(tools/calibrate_lpips.py) so the perceptual "
+                        "ablation measures a MEANINGFUL perceptual loss "
+                        "(VERDICT r3 item 3); default: uniform heads")
     p.add_argument("--out", default="benchmarks/round_results/ablations.json")
     args = p.parse_args()
 
@@ -50,6 +55,8 @@ def main():
     base["dehazing"]["epochs"] = args.epochs
     base["tpu"]["use_pallas"] = on_tpu
     base["tpu"]["compute_dtype"] = "bfloat16" if on_tpu else "float32"
+    if args.lpips_weights:
+        base["loss"]["lpips_weights"] = args.lpips_weights
 
     results = {}
     for name, overrides in ABLATIONS.items():
@@ -70,6 +77,7 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"level": args.level, "epochs": args.epochs,
+                   "lpips_weights": args.lpips_weights,
                    "results": results}, f, indent=2)
     print(f"Wrote {args.out}")
 

@@ -81,6 +81,13 @@ if [ -n "$BLINE" ]; then
 else
     echo "ERROR: no bench line in logs/bench_r4b.log" >&2
 fi
+# --- 5b. loss ablations with the CALIBRATED perceptual metric (r3 item 3:
+#      the no_perceptual row is only meaningful against fitted heads) ---
+timeout 7200 python tools/run_ablations.py --epochs 6 \
+    --data data/synthetic_corpus_v2 --lpips-weights "$EXP/lpips_cal" \
+    --out benchmarks/round_results/ablations_r4.json \
+    > logs/ablations_r4.log 2>&1
+
 # --- 6. commit-able artifacts from gitignored logs/experiments ---
 grep -h "\[joint\]" logs/joint_hard_r4.log \
     > benchmarks/round_results/joint_hard_r4.txt 2>/dev/null || true
