@@ -29,6 +29,11 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests)")
+    p.add_argument("--mode", default="soft", choices=("soft", "hard"),
+                   help="soft: the reference-faithful 3x-branch joint step; "
+                        "hard: the hard_finetune_frac per-branch steps "
+                        "(one pure-class batch per branch per round) — the "
+                        "compute-bound side of the r4 A/B")
     p.add_argument("--remat", default="none",
                    choices=("none", "full", "fullres"),
                    help="rematerialisation: none | full (checkpoint the "
@@ -89,6 +94,58 @@ def main():
 
     def sync(st):
         return float(jnp.sum(jax.tree_util.tree_leaves(st.params)[0]))
+
+    if args.mode == "hard":
+        from adam_dehaze_tpu.training.train_joint import (
+            make_hard_branch_step,
+        )
+        levels = ("low", "medium", "high")
+        states = {lvl: TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"][f"models_{lvl}"],
+            batch_stats=variables["batch_stats"][f"models_{lvl}"],
+            opt_state=tx.init(variables["params"][f"models_{lvl}"]))
+            for lvl in levels}
+        steps_h = {}
+        for lvl in levels:
+            s_fn = make_hard_branch_step(router.models[lvl], tx, joint_loss,
+                                         loss_params, augmentation=True)
+            steps_h[lvl] = s_fn.lower(states[lvl], batch,
+                                      key).compile()
+        for i in range(3):
+            for lvl in levels:
+                states[lvl], _ = steps_h[lvl](states[lvl], batch,
+                                              jax.random.PRNGKey(10 + i))
+        sync(states["high"])
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            for lvl in levels:
+                states[lvl], _ = steps_h[lvl](states[lvl], batch,
+                                              jax.random.PRNGKey(100 + i))
+        sync(states["high"])
+        dt = (time.perf_counter() - t0) / args.steps  # per 3-batch round
+        line = {
+            "metric": "joint_train_hard_imgs_per_sec_per_chip",
+            "value": round(3 * args.batch / dt, 1),
+            "sec_per_round": round(dt, 4),
+            "batch": args.batch, "size": args.size,
+            "device": jax.devices()[0].device_kind,
+        }
+        try:
+            flops = 0.0
+            for lvl in levels:
+                cost = steps_h[lvl].cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                flops += float(cost.get("flops", 0.0))
+            if flops > 0:
+                line["gflops_per_image"] = round(flops / (3 * args.batch)
+                                                 / 1e9, 1)
+                line["tflops_per_sec"] = round(flops / dt / 1e12, 1)
+        except Exception:
+            pass
+        print(json.dumps(line))
+        return
 
     # AOT-compile ONCE and execute that same executable: a second jit-path
     # compile would cost another ~15 min terminal-side on axon, and this

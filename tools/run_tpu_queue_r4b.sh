@@ -81,6 +81,16 @@ if [ -n "$BLINE" ]; then
 else
     echo "ERROR: no bench line in logs/bench_r4b.log" >&2
 fi
+# --- 5a. compute-bound train-throughput A/B: 3x soft step vs hard
+#      per-branch steps (in-memory batches; the epoch wall-clock is
+#      host-bound on this 1-core VM so only this isolates the FLOPs win) ---
+touch /tmp/queue_timing_phase
+timeout 3600 python tools/measure_train_throughput.py --batch 24 \
+    --mode hard > logs/train_tp_hard_r4.log 2>&1
+rm -f /tmp/queue_timing_phase
+grep -h '"metric"' logs/train_tp_hard_r4.log | tail -n 1 \
+    > benchmarks/round_results/train_tp_hard_r4.json || true
+
 # --- 5b. loss ablations with the CALIBRATED perceptual metric (r3 item 3:
 #      the no_perceptual row is only meaningful against fitted heads) ---
 timeout 7200 python tools/run_ablations.py --epochs 6 \
