@@ -40,7 +40,8 @@ MODES = ("preprocess", "train_classifier", "train_dehazing", "train_joint",
          "train_all", "train_detection", "evaluate", "demo", "serve",
          "export", "bench")
 
-SERVE_MODES = ("soft", "hard", "spill", "stream", "queued", "device")
+SERVE_MODES = ("soft", "hard", "spill", "spill_up", "stream", "queued",
+               "device")
 
 
 def parse_args(argv=None):
@@ -275,7 +276,7 @@ def run_serve(config, exp_dir: str, args):
     at a TODO demo stub, main.py:210-215 — it has no inference CLI at all):
 
       python main.py --mode serve --experiment_dir experiments/X \\
-          [--data_dir DIR] [--serve_mode hard|spill|stream|queued|device|soft]
+          [--data_dir DIR] [--serve_mode hard|spill|spill_up|stream|queued|device|soft]
           [--queue_bucket N] [--max_wait_batches W] [--out DIR]
           [--lowres high[,medium]] [--detect] [--precompiled DIR|auto]
 
@@ -338,7 +339,7 @@ def run_serve(config, exp_dir: str, args):
             raise SystemExit(f"serve: unknown --lowres levels {sorted(bad)} "
                              f"(choose from {list(INTENSITY_ORDER)} or "
                              "'auto')")
-    if lowres and mode not in ("hard", "spill", "stream"):
+    if lowres and mode not in ("hard", "spill", "spill_up", "stream"):
         raise SystemExit("serve: --lowres applies to hard/spill/stream modes")
     results = {}  # global index -> (dehazed HWC float, intensity or None)
     if mode == "queued":
@@ -361,8 +362,10 @@ def run_serve(config, exp_dir: str, args):
                 out, intensity = dehazer(x), None
             elif mode == "device":
                 out, intensity = dehazer.route_device_binned(x)
-            else:  # hard / spill
-                out, intensity = dehazer.route_hard(x, spill=(mode == "spill"),
+            else:  # hard / spill / spill_up (quality-guarded)
+                spill = {"hard": False, "spill": True,
+                         "spill_up": "up"}[mode]
+                out, intensity = dehazer.route_hard(x, spill=spill,
                                                     lowres=lowres)
             for j in range(out.shape[0]):
                 results[base + j] = (

@@ -418,8 +418,8 @@ class BinnedAdaptiveEngine:
         import numpy as np
 
         def _serve(px, labels):
-            serve_labels = (self.plan_capacity_spill(labels) if spill
-                            else labels)
+            serve_labels = (self.plan_capacity_spill(
+                labels, up_only=(spill == "up")) if spill else labels)
             return self._dispatch(px, serve_labels), labels
 
         pending = None  # (x_dev, pred_dev, given_intensity)

@@ -398,7 +398,9 @@ class AdaptiveDehazer:
         spill=True serves per-class overflow with a neighboring branch's
         free pad slots (capacity policy, models/routing.py:
         plan_capacity_spill) so skewed traffic never pays an extra padded
-        bucket program.
+        bucket program; spill="up" is the quality-guarded variant (overflow
+        only moves to STRONGER branches; residual top-class overflow pays a
+        planned small bucket instead of a weaker branch).
         lowres=("high",) serves those branches at half resolution with a
         guided-filter lift of the correction (ops/resolution.py) — a
         quality/latency dial; see round_results/resolution_scheduling.json
