@@ -222,7 +222,12 @@ def evaluate_hard_routing(config, router=None, state=None) -> Dict[str, Any]:
     dehazer = AdaptiveDehazer(router, state, config,
                               autotune=os.path.exists(cache),
                               autotune_cache=cache)
-    engine = dehazer._binned_engine()
+    # Single-bucket ladder: engine outputs are identical under any chunk
+    # plan, and each extra bucket size is a separate multi-minute remote
+    # compile — quality rows only need ONE program per branch at the batch
+    # size (covers the all-one-class worst case).
+    engine = dehazer._binned_engine(
+        buckets=(config["dataset"]["batch_size"],))
 
     img = config["dataset"]["img_size"]
 

@@ -235,18 +235,29 @@ class AdaptiveDehazer:
         return fns
 
     def _binned_engine(self, lowres=(), lowres_scale: int = 2,
-                       lowres_mode: str = "guided"):
+                       lowres_mode: str = "guided", buckets=None):
+        """buckets: optional bucket-ladder override. Quality consumers
+        (evaluation) pass a single bucket — engine OUTPUTS are identical
+        under any chunk plan, but every distinct bucket size is a separate
+        lazily-compiled program (~minutes each through the axon remote
+        compiler), so the full serving ladder would waste an hour of
+        compiles on rows whose timing is never read. None = the serving
+        default ladder."""
         lowres = self._norm_lowres(lowres, lowres_scale, lowres_mode)
         key = ("binned" if not lowres else "binned_lowres_" + "_".join(
             f"{lvl}-{p['scale']}-{p['mode']}-{p['radius']}"
             for lvl, p in sorted(lowres.items())))
+        if buckets is not None:
+            key += "_b" + "-".join(str(int(b)) for b in buckets)
         if key not in self._engines:
             from adam_dehaze_tpu.models.routing import (
                 BinnedAdaptiveEngine, INTENSITY_ORDER)
+            kwargs = {} if buckets is None else {"buckets": tuple(buckets)}
             engine = BinnedAdaptiveEngine(
                 self._classifier_apply(),
                 self._branch_applies(lowres=lowres, lowres_scale=lowres_scale,
-                                     lowres_mode=lowres_mode))
+                                     lowres_mode=lowres_mode),
+                **kwargs)
             # Feed measured branch costs into the chunk planner when the
             # autotune pass timed them (winner ms per 16-batch): pad rows
             # are then traded against dispatch overhead in REAL row costs
