@@ -39,6 +39,9 @@ def main():
                         "(tools/calibrate_lpips.py) so the perceptual "
                         "ablation measures a MEANINGFUL perceptual loss "
                         "(VERDICT r3 item 3); default: uniform heads")
+    p.add_argument("--only", default=None,
+                   help="Comma-separated subset of ablation names (e.g. "
+                        "'full,no_perceptual') for a bounded compile budget")
     p.add_argument("--out", default="benchmarks/round_results/ablations.json")
     args = p.parse_args()
 
@@ -58,8 +61,12 @@ def main():
     if args.lpips_weights:
         base["loss"]["lpips_weights"] = args.lpips_weights
 
+    selected = ABLATIONS
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        selected = {n: ABLATIONS[n] for n in names}
     results = {}
-    for name, overrides in ABLATIONS.items():
+    for name, overrides in selected.items():
         cfg = copy.deepcopy(base)
         cfg["loss"].update(overrides)
         cfg["dehazing"]["checkpoint_dir"] = f"experiments/ablations/{name}"
