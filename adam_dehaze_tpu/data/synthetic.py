@@ -94,6 +94,70 @@ def apply_random_fog(key: jax.Array, clear: jax.Array, intensity: jax.Array) -> 
     return apply_fog(clear, beta, A)
 
 
+def boundary_fog_params(key: jax.Array, intensity: jax.Array, batch: int,
+                        boundary_frac: float = 0.5, margin: float = 0.08):
+    """Class-conditional (beta, A) with extra mass at the DECISION BOUNDARIES.
+
+    The fog classes are beta intervals (INTENSITY_RANGES): low/medium meet at
+    0.4, medium/high at 0.7. The residual test errors of the trained router
+    are confident mistakes on images generated near those edges
+    (benchmarks/round_results/margin_routing_r4.json), so uniform-in-range
+    sampling under-trains exactly the region that decides routing. With
+    probability `boundary_frac` a sample's beta is drawn uniformly from the
+    `margin`-wide strip INSIDE its own class adjacent to a class edge (medium
+    picks one of its two edges at random); otherwise uniformly from the full
+    class range, as in `random_fog_params`. A is always uniform in the class
+    range. Labels remain exact — the strip never crosses the edge.
+    """
+    lows_b = jnp.array([INTENSITY_RANGES[n][0][0] for n in INTENSITY_NAMES])
+    highs_b = jnp.array([INTENSITY_RANGES[n][0][1] for n in INTENSITY_NAMES])
+    lows_a = jnp.array([INTENSITY_RANGES[n][1][0] for n in INTENSITY_NAMES])
+    highs_a = jnp.array([INTENSITY_RANGES[n][1][1] for n in INTENSITY_NAMES])
+    # Per class: [lo, hi) of the strip at each of its (up to two) class edges.
+    # low: upper edge only; medium: both; high: lower edge only. A class's
+    # "missing" second strip aliases its real one so gather stays branch-free.
+    strip_lo = jnp.array([
+        [highs_b[0] - margin, highs_b[0] - margin],   # low: edge at 0.4
+        [lows_b[1], highs_b[1] - margin],             # medium: 0.4 and 0.7
+        [lows_b[2], lows_b[2]],                       # high: edge at 0.7
+    ])
+    strip_hi = strip_lo + margin
+    kb, ka, kf, ke = jax.random.split(key, 4)
+    ub = jax.random.uniform(kb, (batch,))
+    ua = jax.random.uniform(ka, (batch,))
+    use_strip = jax.random.bernoulli(kf, boundary_frac, (batch,))
+    edge = jax.random.bernoulli(ke, 0.5, (batch,)).astype(jnp.int32)
+    beta_full = lows_b[intensity] + ub * (highs_b[intensity] - lows_b[intensity])
+    s_lo = strip_lo[intensity, edge]
+    s_hi = strip_hi[intensity, edge]
+    beta_strip = s_lo + ub * (s_hi - s_lo)
+    beta = jnp.where(use_strip, beta_strip, beta_full)
+    A = lows_a[intensity] + ua * (highs_a[intensity] - lows_a[intensity])
+    return beta, A
+
+
+def refog_batch(key: jax.Array, batch, prob: float = 0.5,
+                boundary_frac: float = 0.5, margin: float = 0.08):
+    """Replace a random subset of a triplet batch's hazy images with FRESH
+    fog rendered from the clear images (boundary-weighted beta).
+
+    Classifier-training augmentation (jit-friendly, runs inside the train
+    step): the stored corpus shows each clear image under exactly one (beta,
+    A) draw; re-fogging exposes the classifier to the full generating
+    distribution, concentrated where classes meet. Labels are unchanged.
+    Returns the batch dict with only "hazy" replaced.
+    """
+    n = batch["hazy"].shape[0]
+    kp, kf = jax.random.split(key)
+    beta, A = boundary_fog_params(kf, batch["intensity"], n,
+                                  boundary_frac=boundary_frac, margin=margin)
+    fresh = apply_fog(batch["clear"], beta, A)
+    take = jax.random.bernoulli(kp, prob, (n,))[:, None, None, None]
+    out = dict(batch)
+    out["hazy"] = jnp.where(take, fresh, batch["hazy"])
+    return out
+
+
 def _min_filter(x: jax.Array, size: int) -> jax.Array:
     """Sliding-window minimum (erosion) with SAME padding, (..., H, W).
 

@@ -87,14 +87,26 @@ def _init_state(model, config, key, img_size: int) -> Tuple[TrainState, optax.Gr
 
 
 def make_train_step(model, tx, augmentation: bool = True,
-                    jitter: float = 0.1):
+                    jitter: float = 0.1, refog: dict | None = None):
     """jitter: ColorJitter strength (reference parity 0.1, dataset.py:101-116).
     Set classifier.jitter: 0 when brightness/contrast ARE the label signal
     (synthetic fog-intensity corpora): +-10% jitter moves samples across
-    class boundaries and caps accuracy well below the 99.8% target."""
+    class boundaries and caps accuracy well below the 99.8% target.
+
+    refog: optional {prob, boundary_frac, margin} — re-render a random subset
+    of hazy inputs from the clear images with boundary-weighted fog
+    (data/synthetic.py:refog_batch). Targets the router's residual confident
+    errors at the beta class edges (VERDICT r4 item 3); off by default."""
     @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
-        kaug, kdrop = jax.random.split(key)
+        kaug, kdrop, kfog = jax.random.split(key, 3)
+        if refog and refog.get("prob", 0.0) > 0 and "clear" in batch:
+            from adam_dehaze_tpu.data.synthetic import refog_batch
+            batch = refog_batch(kfog, batch,
+                                prob=float(refog.get("prob", 0.5)),
+                                boundary_frac=float(
+                                    refog.get("boundary_frac", 0.5)),
+                                margin=float(refog.get("margin", 0.08)))
         if augmentation:
             batch = augment_triplet(kaug, batch, brightness=jitter,
                                     contrast=jitter)
@@ -164,7 +176,8 @@ def train_classifier(config, resume: bool = False):
     val_loader = get_dataloader(config, "val")
     train_step = make_train_step(model, tx,
                                  config["dataset"].get("augmentation", True),
-                                 jitter=config["classifier"].get("jitter", 0.1))
+                                 jitter=config["classifier"].get("jitter", 0.1),
+                                 refog=config["classifier"].get("refog"))
     eval_step = make_eval_step(model)
 
     epochs = config["classifier"]["epochs"]

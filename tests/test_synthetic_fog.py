@@ -110,3 +110,48 @@ def test_progressive_levels():
     betas = [b for b, _ in levels]
     assert betas == sorted(betas)
     assert abs(levels[-1][0] - 1.0) < 1e-9 and abs(levels[-1][1] - 1.0) < 1e-9
+
+
+def test_boundary_fog_params_labels_exact(key):
+    """Boundary strips stay strictly INSIDE each class's beta range, so the
+    intensity label is always exact (data/synthetic.py:boundary_fog_params)."""
+    from adam_dehaze_tpu.data.synthetic import boundary_fog_params
+
+    n = 600
+    intensity = jnp.asarray(np.tile([0, 1, 2], n // 3))
+    beta, A = boundary_fog_params(key, intensity, n, boundary_frac=1.0)
+    beta = np.asarray(beta)
+    A = np.asarray(A)
+    names = ["low", "medium", "high"]
+    for cls in range(3):
+        (blo, bhi), (alo, ahi) = INTENSITY_RANGES[names[cls]]
+        sel = np.asarray(intensity) == cls
+        assert beta[sel].min() >= blo - 1e-6
+        assert beta[sel].max() <= bhi + 1e-6
+        assert A[sel].min() >= alo - 1e-6 and A[sel].max() <= ahi + 1e-6
+    # with boundary_frac=1 every beta sits in a 0.08-strip at a class edge
+    m = 0.08 + 1e-6
+    lo_b = beta[np.asarray(intensity) == 0]
+    assert (lo_b >= INTENSITY_RANGES["low"][0][1] - m).all()
+    hi_b = beta[np.asarray(intensity) == 2]
+    assert (hi_b <= INTENSITY_RANGES["high"][0][0] + m).all()
+    med_b = beta[np.asarray(intensity) == 1]
+    (mlo, mhi) = INTENSITY_RANGES["medium"][0]
+    assert ((med_b <= mlo + m) | (med_b >= mhi - m)).all()
+    # and both of medium's edges get traffic
+    assert (med_b <= mlo + m).any() and (med_b >= mhi - m).any()
+
+
+def test_refog_batch_replaces_only_hazy(key, rng):
+    from adam_dehaze_tpu.data.synthetic import refog_batch
+
+    clear = jnp.asarray(rng.random((6, 16, 16, 3), dtype=np.float32))
+    hazy = jnp.zeros_like(clear)
+    batch = {"hazy": hazy, "clear": clear,
+             "intensity": jnp.asarray([0, 1, 2, 0, 1, 2])}
+    out = refog_batch(key, batch, prob=1.0)
+    assert out["clear"] is clear and "intensity" in out
+    # fresh fog is never the all-zero placeholder (A*(1-t) > 0 off-center)
+    assert float(jnp.abs(out["hazy"]).max()) > 0.05
+    out0 = refog_batch(key, batch, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out0["hazy"]), np.asarray(hazy))
