@@ -354,6 +354,35 @@ def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str,
     density_fn = jax.jit(lambda im: jnp.mean(fog_density_map(im),
                                              axis=(1, 2)))
     fade_hazy, fade_dehazed = [], []
+    # BRISQUE/NIMA-analog no-reference rows (BASELINE.md "Real-world
+    # (RTTS)": BRISQUE 11.961 / NIMA 5.346, reference README.md:140; the
+    # reference ships neither implementation). brisque_proxy: NIQE-family
+    # naturalness distance from a pristine MVG fit on THIS split's clear
+    # images (features accumulate in the same pass, the model fits at the
+    # end). nima_proxy: the in-env learned 10-bin MOS head; trained once
+    # per experiment and cached next to the checkpoints.
+    from adam_dehaze_tpu.evaluation import no_reference as nr
+    nss_fn = jax.jit(nr.nss_features)
+    nss_clear, nss_hazy, nss_dehazed = [], [], []
+    nima_hazy, nima_dehazed = [], []
+    q_head = None
+    exp_dir = config.get("_exp_dir")
+    if exp_dir:
+        q_path = os.path.join(exp_dir, "quality_head.msgpack")
+        loaded = nr.load_quality_head(q_path)
+        if loaded is None:
+            try:
+                print("  training nima_proxy quality head (one-time, "
+                      "cached per experiment)...")
+                model_q, params_q = nr.train_quality_head(
+                    config, steps=int(config.get("evaluation", {})
+                                      .get("nima_steps", 300)))
+                nr.save_quality_head(q_path, params_q)
+                loaded = (model_q, params_q)
+            except Exception as e:
+                print(f"  nima_proxy head training skipped "
+                      f"({type(e).__name__}: {e})")
+        q_head = loaded
     for batch in loader:
         hazy = jnp.asarray(batch["hazy"])
         dehazed, info = apply_fn(variables, hazy)
@@ -361,6 +390,15 @@ def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str,
         m = batch["mask"]
         fade_hazy.append(np.asarray(density_fn(hazy))[m])
         fade_dehazed.append(np.asarray(density_fn(jnp.asarray(dehazed)))[m])
+        dehazed_dev = jnp.asarray(dehazed)
+        clear_dev = jnp.asarray(batch["clear"])
+        nss_clear.append(np.asarray(nss_fn(clear_dev))[m])
+        nss_hazy.append(np.asarray(nss_fn(hazy))[m])
+        nss_dehazed.append(np.asarray(nss_fn(dehazed_dev))[m])
+        if q_head is not None:
+            nima_hazy.append(nr.nima_proxy_scores(hazy, *q_head)[m])
+            nima_dehazed.append(
+                nr.nima_proxy_scores(dehazed_dev, *q_head)[m])
         for i in range(3):
             sel = (batch["intensity"] == i) & batch["mask"]
             if sel.any():
@@ -391,6 +429,30 @@ def evaluate_joint_model(config, router=None, state=None) -> Dict[str, Dict[str,
         print(f"  fade_proxy (DCP density): hazy {fh:.4f} -> dehazed "
               f"{fd:.4f} ({avg['fade_proxy']['reduction_pct']:+.1f}% "
               f"reduction; reference claims -30% FADE, README.md:19)")
+    if nss_clear:
+        pristine = nr.pristine_from_features(np.concatenate(nss_clear))
+        bh = float(np.mean(nr.mahalanobis_scores(
+            np.concatenate(nss_hazy), pristine)))
+        bd = float(np.mean(nr.mahalanobis_scores(
+            np.concatenate(nss_dehazed), pristine)))
+        avg["brisque_proxy"] = {
+            "hazy": round(bh, 4), "dehazed": round(bd, 4),
+            "reduction_pct": round((bh - bd) / max(bh, 1e-9) * 100.0, 2),
+        }
+        print(f"  brisque_proxy (NIQE-family, lower=better): hazy {bh:.3f}"
+              f" -> dehazed {bd:.3f} "
+              f"({avg['brisque_proxy']['reduction_pct']:+.1f}% reduction; "
+              "baseline BRISQUE row README.md:140)")
+    if nima_hazy:
+        nh = float(np.mean(np.concatenate(nima_hazy)))
+        nd = float(np.mean(np.concatenate(nima_dehazed)))
+        avg["nima_proxy"] = {
+            "hazy": round(nh, 4), "dehazed": round(nd, 4),
+            "delta": round(nd - nh, 4),
+        }
+        print(f"  nima_proxy (1-10 MOS, higher=better): hazy {nh:.3f} -> "
+              f"dehazed {nd:.3f} ({avg['nima_proxy']['delta']:+.3f}; "
+              "baseline NIMA row README.md:140)")
     iq.save_results(os.path.join(config["evaluation"]["results_dir"],
                                  "joint_results.json"))
     return avg

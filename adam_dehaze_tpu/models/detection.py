@@ -151,20 +151,29 @@ class FCOSDetector(nn.Module):
     channels: int = 128
     dtype: Any = jnp.float32
     torchvision_compat: bool = False
+    # Native-mode small-object dial: extend the pyramid down to P2
+    # (stride 4, from the backbone's C2 stage). Small boxes (< 32 px) get
+    # 4x the positive locations they see at stride 8; the level ranges in
+    # train_detection.level_ranges shift down accordingly. Static shapes —
+    # one extra head application, no dynamic control flow. Ignored in
+    # torchvision_compat mode (tv FCOS geometry is fixed P3-P7).
+    p2: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         backbone = _BACKBONES[self.backbone_name](dtype=self.dtype,
                                                   return_stages=True)
         _, stages = backbone(x, train)
-        # C3, C4, C5 (strides 8, 16, 32).
+        # C3, C4, C5 (strides 8, 16, 32); with p2 also C2 (stride 4).
         tv = self.torchvision_compat
+        lo = 0 if (self.p2 and not tv) else 1
         pyramid = FPN(self.channels, dtype=self.dtype,
-                      extra_levels=tv)(stages[1:4])
+                      extra_levels=tv)(stages[lo:4])
         head = FCOSHead(self.num_classes, self.channels, dtype=self.dtype,
                         tower_convs=4 if tv else 2, group_norm=tv,
                         softplus=not tv)
-        strides = (8, 16, 32, 64, 128) if tv else (8, 16, 32)
+        strides = ((8, 16, 32, 64, 128) if tv
+                   else ((4, 8, 16, 32) if self.p2 else (8, 16, 32)))
         outs = []
         for feat, stride in zip(pyramid, strides):
             logits, offsets, ctr = head(feat)
@@ -302,14 +311,16 @@ class DetectionModel:
     def __init__(self, num_classes: int = 91,
                  model_name: str = "fcos_resnet18_fpn",
                  score_threshold: float = 0.05, topk: int = 300,
-                 dtype=jnp.float32, pretrained: Optional[str] = None):
+                 dtype=jnp.float32, pretrained: Optional[str] = None,
+                 p2: bool = False):
         if model_name not in _BACKBONES:
             raise ValueError(f"Unsupported detection model: {model_name}")
         tv = model_name.startswith("tv_")
         self.module = FCOSDetector(num_classes=num_classes,
                                    backbone_name=model_name, dtype=dtype,
                                    channels=256 if tv else 128,
-                                   torchvision_compat=tv)
+                                   torchvision_compat=tv,
+                                   p2=p2 and not tv)
         self.model_name = model_name
         self.num_classes = num_classes
         self.score_threshold = score_threshold
@@ -386,6 +397,7 @@ def create_detection_model(config) -> DetectionModel:
         # weights; here it must be a PATH to the converted orbax checkpoint
         # (a bare true has nothing to load from in this environment).
         pretrained=pretrained if isinstance(pretrained, str) else None,
+        p2=bool(config["detection"].get("p2", False)),
     )
 
 

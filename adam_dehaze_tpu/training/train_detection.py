@@ -27,6 +27,15 @@ from adam_dehaze_tpu.training.state import TrainState, make_optimizer
 
 # Per-level max-offset ranges (stride 8, 16, 32).
 _LEVEL_RANGES = ((0.0, 64.0), (64.0, 128.0), (128.0, 1e8))
+# With the P2 small-object level (stride 4, models/detection.py p2=True)
+# the ranges shift down one octave so sub-32 px boxes assign to P2.
+_LEVEL_RANGES_P2 = ((0.0, 32.0), (32.0, 64.0), (64.0, 128.0), (128.0, 1e8))
+
+
+def level_ranges(n_levels: int):
+    """Assignment ranges matching the model's pyramid (3 native levels, or
+    4 with p2)."""
+    return _LEVEL_RANGES_P2 if n_levels == 4 else _LEVEL_RANGES
 
 
 def sigmoid_focal_loss(logits, targets, alpha: float = 0.25,
@@ -150,7 +159,7 @@ def fcos_loss(level_outputs: Sequence[Dict], boxes, labels, n_boxes,
     total_ctr = 0.0
     total_pos = 0.0
     total_ctr_w = 0.0
-    for lvl, rng in zip(level_outputs, _LEVEL_RANGES):
+    for lvl, rng in zip(level_outputs, level_ranges(len(level_outputs))):
         logits = lvl["logits"]
         offsets = lvl["offsets"]
         ctr_logits = lvl["centerness"][..., 0]

@@ -22,6 +22,20 @@ measured INSTEAD and reported under metric "adaptive_dehaze_soft_fallback..."
 — a different name, so a regression can never silently corrupt the
 round-over-round trend of the primary metric.
 
+Two tiers (round-5 restructure — the r4 canonical artifact was truncated by
+the driver's outer timeout at ~40 min of wall):
+
+- DEFAULT (`python bench.py`): the headline rows only — primary binned,
+  device-binned, the single-image family (incl. the <5 ms guarded-streamed
+  north star, measured EARLY so it can never fall off the end), streams,
+  skew, guarded lowres, trained routing (+quality-guarded spill_up), the
+  detection pipeline, MFU. Budgeted to finish in ~15-20 min on axon.
+- FULL (`python bench.py --full`, or BENCH_FULL=1): adds the exploratory
+  probes — int8 AQT, random-weight predicted routing, balanced-floor spill
+  + device-spill, and the queued continuous-batching row repeated 3x with
+  min/median (the r4 row swung 3.3x between runs; a single sample is not a
+  result). The TPU queue runs this tier separately.
+
 Baseline: 30 ms/image average adaptive inference on the reference's GPU
 (README.md:149; BASELINE.md). vs_baseline = baseline_ms / ours_ms (higher is
 better). Prints exactly ONE JSON line.
@@ -44,12 +58,20 @@ WARMUP = 5
 ITERS = 30
 SINGLE_CALLS = 20
 
+# FULL tier: exploratory probes (int8, queued 3x, spill variants, random-
+# weight routing). The default tier stays inside the driver's bench window.
+_FULL = ("--full" in sys.argv) or os.environ.get("BENCH_FULL", "0") == "1"
+
 # Optional rows each pay remote compiles (~minutes on axon). Once the
 # budget is spent, remaining OPTIONAL rows are skipped so the one JSON
 # line always prints well inside any outer `timeout` (the primary metric
 # is measured first and never skipped). BENCH_BUDGET_S=0 disables.
+# Default-tier budget 1100 s: r3's full run walled 1440 s and r4's 2427 s
+# was killed by the driver; the default tier drops ~500 s of probes and
+# caps stragglers so the complete line prints with rc=0.
 _T0 = time.perf_counter()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600") or 0)
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S",
+                                 "3600" if _FULL else "1100") or 0)
 
 
 def _budget_ok(label: str) -> bool:
@@ -144,6 +166,19 @@ def _flops_audit():
         return None
 
 
+def _default_experiment():
+    """First existing full-system experiment, newest round first
+    (BENCH_EXPERIMENT env overrides)."""
+    exp = os.environ.get("BENCH_EXPERIMENT")
+    if exp:
+        return exp
+    for cand in ("experiments/full_system_r5", "experiments/full_system_r3",
+                 "experiments/full_system_r2"):
+        if os.path.isfile(os.path.join(cand, "config.yaml")):
+            return cand
+    return None
+
+
 def _trained_routing_inputs(bucket: int):
     """Real test images + trained-classifier routing labels.
 
@@ -151,13 +186,7 @@ def _trained_routing_inputs(bucket: int):
     both the experiment and the synthetic corpus live outside git but persist
     in the round workspace). Returns (x_real (3*bucket,...), labels, acc)
     or None when the artifacts are absent (e.g. a fresh clone)."""
-    import os
-    exp = os.environ.get("BENCH_EXPERIMENT")
-    if exp is None:
-        for cand in ("experiments/full_system_r3", "experiments/full_system_r2"):
-            if os.path.isfile(os.path.join(cand, "config.yaml")):
-                exp = cand
-                break
+    exp = _default_experiment()
     if exp is None:
         return None
     cfg_path = os.path.join(exp, "config.yaml")
@@ -268,7 +297,8 @@ def main():
         from adam_dehaze_tpu.serving_autotune import load_cached
         cache_path = os.environ.get(
             "BENCH_AUTOTUNE_CACHE",
-            "experiments/full_system_r3/serving_autotune.json")
+            os.path.join(_default_experiment() or "experiments/full_system_r3",
+                         "serving_autotune.json"))
         sample_shape = (BATCH // 3, SIZE, SIZE, 3)
         for i, n in enumerate(("low", "medium", "high")):
             try:
@@ -342,6 +372,75 @@ def main():
         except Exception as e:
             print(f"device-binned variant skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
+
+        # Single-image serving latency through lax.switch (one branch/image).
+        # Measured EARLY (right after the primary/device rows): the guarded
+        # streamed number is the <5 ms batch-1 north-star proof and must be
+        # in the driver-captured artifact even if later rows are skipped
+        # (r4's was lost to the outer timeout).
+        if _budget_ok("single_image"):
+            switch_fn = jax.jit(make_adaptive_infer(
+                clf_serving, serving_applies, mode="switch"))
+            x1 = x[:1]
+            _sync(switch_fn(x1))
+            lat = []
+            for _ in range(SINGLE_CALLS):
+                t0 = time.perf_counter()
+                _sync(switch_fn(x1))  # blocking = result actually fetched
+                lat.append((time.perf_counter() - t0) * 1000.0)
+            result["single_image_p50_ms"] = round(
+                float(np.percentile(lat, 50)), 3)
+            t0 = time.perf_counter()
+            outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
+            _sync(outs[-1])
+            result["single_image_streamed_ms"] = round(
+                (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
+            # Guarded-policy batch-1 row (VERDICT r3 item 2: the cheapest
+            # latency dial had no single-image number): the SAME direct
+            # lax.switch program, with lowres-dispatched branch applies per
+            # the experiment's tuned resolution policy. No scan wrapper —
+            # batch-1 goes straight through one switch.
+            try:
+                from adam_dehaze_tpu.resolution_autotune import (
+                    load_policy,
+                    policy_to_lowres,
+                )
+                pol = load_policy(os.environ.get(
+                    "BENCH_RESOLUTION_POLICY",
+                    os.path.join(
+                        _default_experiment() or "experiments/full_system_r3",
+                        "resolution_policy.json")))
+                lowres_g = policy_to_lowres(pol) if pol else {}
+                if lowres_g:
+                    from adam_dehaze_tpu.ops.resolution import (
+                        make_lowres_apply,
+                    )
+                    g_applies1 = [
+                        make_lowres_apply(f, scale=lowres_g[n]["scale"],
+                                          mode=lowres_g[n]["mode"],
+                                          radius=lowres_g[n]["radius"])
+                        if n in lowres_g else f
+                        for n, f in zip(("low", "medium", "high"),
+                                        serving_applies)]
+                    switch_g = jax.jit(make_adaptive_infer(
+                        clf_serving, g_applies1, mode="switch"))
+                    _sync(switch_g(x1))
+                    lat_g = []
+                    for _ in range(SINGLE_CALLS):
+                        t0 = time.perf_counter()
+                        _sync(switch_g(x1))
+                        lat_g.append((time.perf_counter() - t0) * 1000.0)
+                    result["single_image_guarded_p50_ms"] = round(
+                        float(np.percentile(lat_g, 50)), 3)
+                    t0 = time.perf_counter()
+                    outs = [switch_g(x1) for _ in range(SINGLE_CALLS)]
+                    _sync(outs[-1])
+                    result["single_image_guarded_streamed_ms"] = round(
+                        (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0,
+                        3)
+            except Exception as e:
+                print(f"guarded single-image variant skipped "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
 
         # Steady-state stream throughput: run_stream overlaps batch k+1's
         # classifier with batch k's label fetch + dispatch, so this is the
@@ -451,7 +550,9 @@ def main():
             )
             pol_path = os.environ.get(
                 "BENCH_RESOLUTION_POLICY",
-                "experiments/full_system_r3/resolution_policy.json")
+                os.path.join(
+                    _default_experiment() or "experiments/full_system_r3",
+                    "resolution_policy.json"))
             policy = load_policy(pol_path)
             if policy is not None:
                 lowres = policy_to_lowres(policy)
@@ -513,11 +614,50 @@ def main():
 
         # Non-oracle routing: classifier argmax decides the bins (random-
         # weight classifier => arbitrary skew incl. bucket padding waste).
-        if _budget_ok("predicted_routing"):
+        # FULL tier: the trained-routing family below is the row that
+        # matters; random-weight skew is exploratory.
+        if _FULL and _budget_ok("predicted_routing"):
             per_iter_pred = _time(lambda: engine(x)[0],
                                   iters=max(ITERS // 3, 5))
             result["predicted_routing_ms_per_image"] = round(
                 per_iter_pred / BATCH * 1000.0, 4)
+
+        # Full-pipeline latency incl. detection (BASELINE.md TPU north
+        # star: HDEN -> CORUN -> detection < 5 ms/image on one chip). Dense
+        # FCOS forward + ImageNet renormalisation + fused on-device top-k
+        # in ONE jitted program chained onto the adaptive engine; the host
+        # NMS over <= 300 candidates is numpy microseconds and excluded.
+        try:
+            if not _budget_ok("detection_pipeline"):
+                raise RuntimeError("budget")
+            from adam_dehaze_tpu.models.detection import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+                _device_topk,
+                create_detection_model,
+            )
+            det = create_detection_model(config)
+            det_vars = det.module.init(jax.random.PRNGKey(7),
+                                       jnp.zeros((1, SIZE, SIZE, 3),
+                                                 jnp.float32))
+            det_pipe = jax.jit(lambda v, img: _device_topk(
+                det.module.apply(v, (img - IMAGENET_MEAN) / IMAGENET_STD),
+                det.topk))
+
+            def _pipeline():
+                dehazed = engine(x, intensity=balanced)[0]
+                return det_pipe(det_vars, dehazed)[0]["scores"]
+
+            per_iter_det = _time(_pipeline, iters=max(ITERS // 3, 5))
+            result["with_detection_ms_per_image"] = round(
+                per_iter_det / BATCH * 1000.0, 4)
+            # overhead vs the same (host-binned) engine the pipeline chains
+            host_ms = result.get("host_binned_ms_per_image", result["value"])
+            result["detection_overhead_ms_per_image"] = round(
+                per_iter_det / BATCH * 1000.0 - host_ms, 4)
+        except Exception as e:
+            print(f"detection pipeline variant skipped "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
 
         # TRAINED-classifier routing (round-2 verdict item #6): real test
         # images from the committed full-system experiment, binned by the
@@ -555,13 +695,16 @@ def main():
                 # bucket capacity are served by a neighboring branch's free
                 # pad slots, so skewed REAL traffic reuses exactly the
                 # balanced program set instead of paying an extra padded
-                # bucket dispatch. Same compiled programs — no extra compile.
-                per_iter_sp = _time(
-                    lambda: engine(x_real, intensity=labels_trained,
-                                   spill=True)[0],
-                    iters=ITERS)
-                result["spill_routing_trained_ms_per_image"] = round(
-                    per_iter_sp / BATCH * 1000.0, 4)
+                # bucket dispatch. Same compiled programs — no extra
+                # compile. FULL tier: spill_up below is the production
+                # policy; the unconstrained balanced-floor row is a bound.
+                if _FULL:
+                    per_iter_sp = _time(
+                        lambda: engine(x_real, intensity=labels_trained,
+                                       spill=True)[0],
+                        iters=ITERS)
+                    result["spill_routing_trained_ms_per_image"] = round(
+                        per_iter_sp / BATCH * 1000.0, 4)
                 # Quality-guarded up-only spill (round 4): overflow moves
                 # only to stronger branches; residual overflow pays a
                 # planned small bucket. Cost sits between spill (balanced
@@ -575,8 +718,11 @@ def main():
                     per_iter_spu / BATCH * 1000.0, 4)
                 # Same skew fix in the single-program engine: the on-device
                 # capacity plan (_device_capacity_labels) removes the
-                # partially-filled extra chunk. One extra compile.
+                # partially-filled extra chunk. One extra (large) compile —
+                # FULL tier only.
                 try:
+                    if not _FULL:
+                        raise RuntimeError("full tier only")
                     dev_sp = jax.jit(make_device_binned_infer(
                         clf_serving, serving_applies, chunk=bucket,
                         spill=True))
@@ -598,6 +744,8 @@ def main():
                 # outputs. Reuses the branch applies already compiled at
                 # bucket shape via engine.branch_applies.
                 try:
+                    if not _FULL:
+                        raise RuntimeError("full tier only")
                     qbatches = [x_real[i:i + bucket]
                                 for i in range(0, x_real.shape[0], bucket)]
                     qlabels = [labels_trained[i:i + bucket]
@@ -613,51 +761,25 @@ def main():
                                 intensities=qlabels):
                             last = out
                         return jnp.asarray(last)
-                    per_iter_q = _time(_run_q, iters=max(ITERS // 3, 5))
+                    # 3 repetitions, min + median + all samples: the r4 row
+                    # swung 2.09 -> 6.86 ms between runs (host contention on
+                    # the 1-core host). min is the capability number; the
+                    # spread is the contention diagnostic.
+                    reps = []
+                    for _ in range(3):
+                        per_iter_q = _time(_run_q, iters=max(ITERS // 3, 5))
+                        reps.append(per_iter_q / BATCH * 1000.0)
                     result["queued_routing_trained_ms_per_image"] = round(
-                        per_iter_q / BATCH * 1000.0, 4)
+                        min(reps), 4)
+                    result["queued_routing_trained_ms_median"] = round(
+                        float(np.median(reps)), 4)
+                    result["queued_routing_trained_ms_samples"] = [
+                        round(r, 4) for r in reps]
                 except Exception as e:
                     print(f"queued variant skipped "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
         except Exception as e:
             print(f"trained-routing variant skipped "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
-
-        # Full-pipeline latency incl. detection (BASELINE.md TPU north
-        # star: HDEN -> CORUN -> detection < 5 ms/image on one chip). Dense
-        # FCOS forward + ImageNet renormalisation + fused on-device top-k
-        # in ONE jitted program chained onto the adaptive engine; the host
-        # NMS over <= 300 candidates is numpy microseconds and excluded.
-        try:
-            if not _budget_ok("detection_pipeline"):
-                raise RuntimeError("budget")
-            from adam_dehaze_tpu.models.detection import (
-                IMAGENET_MEAN,
-                IMAGENET_STD,
-                _device_topk,
-                create_detection_model,
-            )
-            det = create_detection_model(config)
-            det_vars = det.module.init(jax.random.PRNGKey(7),
-                                       jnp.zeros((1, SIZE, SIZE, 3),
-                                                 jnp.float32))
-            det_pipe = jax.jit(lambda v, img: _device_topk(
-                det.module.apply(v, (img - IMAGENET_MEAN) / IMAGENET_STD),
-                det.topk))
-
-            def _pipeline():
-                dehazed = engine(x, intensity=balanced)[0]
-                return det_pipe(det_vars, dehazed)[0]["scores"]
-
-            per_iter_det = _time(_pipeline, iters=max(ITERS // 3, 5))
-            result["with_detection_ms_per_image"] = round(
-                per_iter_det / BATCH * 1000.0, 4)
-            # overhead vs the same (host-binned) engine the pipeline chains
-            host_ms = result.get("host_binned_ms_per_image", result["value"])
-            result["detection_overhead_ms_per_image"] = round(
-                per_iter_det / BATCH * 1000.0 - host_ms, 4)
-        except Exception as e:
-            print(f"detection pipeline variant skipped "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
 
         # Measured-FLOPs MFU for the balanced primary metric.
@@ -697,6 +819,8 @@ def main():
         # already-jitted fn reuses its cached bf16 executable and silently
         # measures the wrong thing.
         try:
+            if not _FULL:
+                raise RuntimeError("full tier only")
             if not _budget_ok("int8"):
                 raise RuntimeError("budget")
             from adam_dehaze_tpu.ops.quant import quantize_apply
@@ -719,68 +843,6 @@ def main():
             print(f"int8 variant skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
-        # Single-image serving latency through lax.switch (one branch/image).
-        if _budget_ok("single_image"):
-            switch_fn = jax.jit(make_adaptive_infer(
-                clf_serving, serving_applies, mode="switch"))
-            x1 = x[:1]
-            _sync(switch_fn(x1))
-            lat = []
-            for _ in range(SINGLE_CALLS):
-                t0 = time.perf_counter()
-                _sync(switch_fn(x1))  # blocking = result actually fetched
-                lat.append((time.perf_counter() - t0) * 1000.0)
-            result["single_image_p50_ms"] = round(
-                float(np.percentile(lat, 50)), 3)
-            t0 = time.perf_counter()
-            outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
-            _sync(outs[-1])
-            result["single_image_streamed_ms"] = round(
-                (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
-            # Guarded-policy batch-1 row (VERDICT r3 item 2: the cheapest
-            # latency dial had no single-image number): the SAME direct
-            # lax.switch program, with lowres-dispatched branch applies per
-            # the experiment's tuned resolution policy. No scan wrapper —
-            # batch-1 goes straight through one switch.
-            try:
-                from adam_dehaze_tpu.resolution_autotune import (
-                    load_policy,
-                    policy_to_lowres,
-                )
-                pol = load_policy(os.environ.get(
-                    "BENCH_RESOLUTION_POLICY",
-                    "experiments/full_system_r3/resolution_policy.json"))
-                lowres_g = policy_to_lowres(pol) if pol else {}
-                if lowres_g:
-                    from adam_dehaze_tpu.ops.resolution import (
-                        make_lowres_apply,
-                    )
-                    g_applies1 = [
-                        make_lowres_apply(f, scale=lowres_g[n]["scale"],
-                                          mode=lowres_g[n]["mode"],
-                                          radius=lowres_g[n]["radius"])
-                        if n in lowres_g else f
-                        for n, f in zip(("low", "medium", "high"),
-                                        serving_applies)]
-                    switch_g = jax.jit(make_adaptive_infer(
-                        clf_serving, g_applies1, mode="switch"))
-                    _sync(switch_g(x1))
-                    lat_g = []
-                    for _ in range(SINGLE_CALLS):
-                        t0 = time.perf_counter()
-                        _sync(switch_g(x1))
-                        lat_g.append((time.perf_counter() - t0) * 1000.0)
-                    result["single_image_guarded_p50_ms"] = round(
-                        float(np.percentile(lat_g, 50)), 3)
-                    t0 = time.perf_counter()
-                    outs = [switch_g(x1) for _ in range(SINGLE_CALLS)]
-                    _sync(outs[-1])
-                    result["single_image_guarded_streamed_ms"] = round(
-                        (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0,
-                        3)
-            except Exception as e:
-                print(f"guarded single-image variant skipped "
-                      f"({type(e).__name__}: {e})", file=sys.stderr)
     except Exception as e:  # never lose the benchmark round entirely
         print(f"binned engine failed ({type(e).__name__}: {e}); "
               "reporting the soft blend under its own metric name",

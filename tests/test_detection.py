@@ -85,3 +85,17 @@ def test_integrated_system(key):
     assert len(detections) == 1
     np.testing.assert_allclose(np.asarray(dehazed),
                                np.full((1, 32, 32, 3), 0.55), atol=1e-5)
+
+
+def test_fcos_forward_shapes_p2(key):
+    """p2=True extends the native pyramid down to stride 4
+    (models/detection.py FCOSDetector.p2 — small-object dial)."""
+    m = FCOSDetector(num_classes=11, backbone_name="fcos_resnet18_fpn",
+                     channels=32, p2=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(key, x)
+    outs = m.apply(vars_, x)
+    assert len(outs) == 4
+    assert [o["stride"] for o in outs] == [4, 8, 16, 32]
+    assert outs[0]["logits"].shape == (1, 16, 16, 11)
+    assert outs[3]["logits"].shape == (1, 2, 2, 11)

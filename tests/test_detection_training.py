@@ -155,3 +155,39 @@ def test_detection_augmentation_boxes_consistent(tmp_path):
     b = ds.load(0)
     np.testing.assert_array_equal(a["hazy"], b["hazy"])
     np.testing.assert_array_equal(a["boxes"], b["boxes"])
+
+
+def test_fcos_loss_four_levels(key):
+    """fcos_loss adapts its assignment ranges to a 4-level (P2) pyramid;
+    a small box (<32 px) produces positives only on the stride-4 level."""
+    import jax
+
+    from adam_dehaze_tpu.models.detection import FCOSDetector
+    from adam_dehaze_tpu.training.train_detection import (
+        fcos_loss,
+        level_ranges,
+    )
+
+    assert len(level_ranges(4)) == 4 and level_ranges(4)[0][1] == 32.0
+    m = FCOSDetector(num_classes=4, backbone_name="fcos_resnet18_fpn",
+                     channels=32, p2=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(key, x)
+    outs = m.apply(vars_, x)
+    boxes = jnp.asarray([[[24.0, 24.0, 44.0, 44.0]]])  # 20px box
+    labels = jnp.asarray([[1]])
+    n_boxes = jnp.asarray([1])
+    losses = fcos_loss(outs, boxes, labels, n_boxes, 4)
+    assert all(bool(jnp.isfinite(v)) for v in losses.values())
+    # the 20px box (max offset < 32) must assign to the stride-4 level only
+    from adam_dehaze_tpu.training.train_detection import _assign_level
+    for lvl, rng in zip(outs, level_ranges(4)):
+        h, w = lvl["logits"].shape[1:3]
+        _, _, _, pos = jax.vmap(
+            lambda bx, lb, nb: _assign_level(
+                bx, lb, nb, h, w, lvl["stride"], rng, 4))(
+                    boxes, labels, n_boxes)
+        if lvl["stride"] == 4:
+            assert int(pos.sum()) > 0
+        else:
+            assert int(pos.sum()) == 0
