@@ -40,7 +40,7 @@ def main(argv=None):
     from adam_dehaze_tpu.evaluation.evaluate import _load_joint
     from adam_dehaze_tpu.models.classifier import create_classifier
     from adam_dehaze_tpu.training import checkpoint as ckpt
-    from adam_dehaze_tpu.training.state import state_to_tree
+    from adam_dehaze_tpu.training.common import state_to_tree
 
     config = update_checkpoint_paths(
         load_config(os.path.join(args.experiment, "config.yaml")),
@@ -52,24 +52,15 @@ def main(argv=None):
 
     router, state = _load_joint(config)
 
-    # Classifier checkpoint template by abstract shape (no device compute).
+    # train_classifier saves the FULL TrainState tree (orbax restores
+    # strictly against a matching template), so rebuild the same template
+    # via the trainer's own init — a one-time CPU init of the small
+    # classifier, no TPU compile.
+    from adam_dehaze_tpu.training.train_classifier import _init_state
     model = create_classifier(config)
     img = config["dataset"]["img_size"]
-
-    def _init():
-        return model.init({"params": jax.random.PRNGKey(0),
-                           "dropout": jax.random.PRNGKey(0)},
-                          jnp.zeros((1, img, img, 3), jnp.float32))
-
-    dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
-    abstract = jax.tree_util.tree_map(
-        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev),
-        jax.eval_shape(_init))
-    # train_classifier saves a full TrainState tree; restore only the
-    # variables we need via a partial template.
-    template = {"params": abstract["params"],
-                "batch_stats": abstract["batch_stats"]}
-    tree, meta = ckpt.load_checkpoint(clf_best, template)
+    clf_state, _tx = _init_state(model, config, jax.random.PRNGKey(0), img)
+    tree, meta = ckpt.load_checkpoint(clf_best, state_to_tree(clf_state))
     print(f"classifier best: {clf_best} "
           f"(val_acc {meta.get('val_acc', 'n/a')})")
 
