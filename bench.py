@@ -66,12 +66,14 @@ _FULL = ("--full" in sys.argv) or os.environ.get("BENCH_FULL", "0") == "1"
 # budget is spent, remaining OPTIONAL rows are skipped so the one JSON
 # line always prints well inside any outer `timeout` (the primary metric
 # is measured first and never skipped). BENCH_BUDGET_S=0 disables.
-# Default-tier budget 1100 s: r3's full run walled 1440 s and r4's 2427 s
-# was killed by the driver; the default tier drops ~500 s of probes and
-# caps stragglers so the complete line prints with rc=0.
+# Default-tier budget 1500 s: r3's full run walled 1440 s with rc=0 and
+# r4's 2427 s was killed; the default tier drops the exploratory probes +
+# one large switch compile and orders north-star rows first, so the
+# complete line prints with rc=0 (measured default walls: 1104 s before
+# the detection/trained rows were re-included).
 _T0 = time.perf_counter()
 _BUDGET_S = float(os.environ.get("BENCH_BUDGET_S",
-                                 "3600" if _FULL else "1100") or 0)
+                                 "3600" if _FULL else "1500") or 0)
 
 
 def _budget_ok(label: str) -> bool:
@@ -379,22 +381,33 @@ def main():
         # in the driver-captured artifact even if later rows are skipped
         # (r4's was lost to the outer timeout).
         if _budget_ok("single_image"):
-            switch_fn = jax.jit(make_adaptive_infer(
-                clf_serving, serving_applies, mode="switch"))
             x1 = x[:1]
-            _sync(switch_fn(x1))
-            lat = []
-            for _ in range(SINGLE_CALLS):
+
+            def _switch_rows(fn, prefix):
+                """Blocking p50 + streamed latency of a jitted batch-1
+                switch program."""
+                _sync(fn(x1))
+                lat = []
+                for _ in range(SINGLE_CALLS):
+                    t0 = time.perf_counter()
+                    _sync(fn(x1))  # blocking = result actually fetched
+                    lat.append((time.perf_counter() - t0) * 1000.0)
+                result[f"{prefix}_p50_ms"] = round(
+                    float(np.percentile(lat, 50)), 3)
                 t0 = time.perf_counter()
-                _sync(switch_fn(x1))  # blocking = result actually fetched
-                lat.append((time.perf_counter() - t0) * 1000.0)
-            result["single_image_p50_ms"] = round(
-                float(np.percentile(lat, 50)), 3)
-            t0 = time.perf_counter()
-            outs = [switch_fn(x1) for _ in range(SINGLE_CALLS)]
-            _sync(outs[-1])
-            result["single_image_streamed_ms"] = round(
-                (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
+                outs = [fn(x1) for _ in range(SINGLE_CALLS)]
+                _sync(outs[-1])
+                result[f"{prefix}_streamed_ms"] = round(
+                    (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0, 3)
+
+            # The plain (full-res) switch is a second large compile whose
+            # row duplicates the guarded one's role — FULL tier only,
+            # unless no tuned resolution policy exists (then it IS the
+            # batch-1 row and runs in the default tier, see below).
+            if _FULL:
+                _switch_rows(jax.jit(make_adaptive_infer(
+                    clf_serving, serving_applies, mode="switch")),
+                    "single_image")
             # Guarded-policy batch-1 row (VERDICT r3 item 2: the cheapest
             # latency dial had no single-image number): the SAME direct
             # lax.switch program, with lowres-dispatched branch applies per
@@ -422,25 +435,178 @@ def main():
                         if n in lowres_g else f
                         for n, f in zip(("low", "medium", "high"),
                                         serving_applies)]
-                    switch_g = jax.jit(make_adaptive_infer(
-                        clf_serving, g_applies1, mode="switch"))
-                    _sync(switch_g(x1))
-                    lat_g = []
-                    for _ in range(SINGLE_CALLS):
-                        t0 = time.perf_counter()
-                        _sync(switch_g(x1))
-                        lat_g.append((time.perf_counter() - t0) * 1000.0)
-                    result["single_image_guarded_p50_ms"] = round(
-                        float(np.percentile(lat_g, 50)), 3)
-                    t0 = time.perf_counter()
-                    outs = [switch_g(x1) for _ in range(SINGLE_CALLS)]
-                    _sync(outs[-1])
-                    result["single_image_guarded_streamed_ms"] = round(
-                        (time.perf_counter() - t0) / SINGLE_CALLS * 1000.0,
-                        3)
+                    _switch_rows(jax.jit(make_adaptive_infer(
+                        clf_serving, g_applies1, mode="switch")),
+                        "single_image_guarded")
+                elif not _FULL:
+                    # no tuned policy: the plain switch is the only
+                    # batch-1 program — measure it in the default tier.
+                    _switch_rows(jax.jit(make_adaptive_infer(
+                        clf_serving, serving_applies, mode="switch")),
+                        "single_image")
             except Exception as e:
                 print(f"guarded single-image variant skipped "
                       f"({type(e).__name__}: {e})", file=sys.stderr)
+
+        # Full-pipeline latency incl. detection (BASELINE.md TPU north
+        # star: HDEN -> CORUN -> detection < 5 ms/image on one chip). Dense
+        # FCOS forward + ImageNet renormalisation + fused on-device top-k
+        # in ONE jitted program chained onto the adaptive engine; the host
+        # NMS over <= 300 candidates is numpy microseconds and excluded.
+        try:
+            if not _budget_ok("detection_pipeline"):
+                raise RuntimeError("budget")
+            from adam_dehaze_tpu.models.detection import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+                _device_topk,
+                create_detection_model,
+            )
+            det = create_detection_model(config)
+            det_vars = det.module.init(jax.random.PRNGKey(7),
+                                       jnp.zeros((1, SIZE, SIZE, 3),
+                                                 jnp.float32))
+            det_pipe = jax.jit(lambda v, img: _device_topk(
+                det.module.apply(v, (img - IMAGENET_MEAN) / IMAGENET_STD),
+                det.topk))
+
+            def _pipeline():
+                dehazed = engine(x, intensity=balanced)[0]
+                return det_pipe(det_vars, dehazed)[0]["scores"]
+
+            per_iter_det = _time(_pipeline, iters=max(ITERS // 3, 5))
+            result["with_detection_ms_per_image"] = round(
+                per_iter_det / BATCH * 1000.0, 4)
+            # overhead vs the same (host-binned) engine the pipeline chains
+            host_ms = result.get("host_binned_ms_per_image", result["value"])
+            result["detection_overhead_ms_per_image"] = round(
+                per_iter_det / BATCH * 1000.0 - host_ms, 4)
+        except Exception as e:
+            print(f"detection pipeline variant skipped "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+
+        # TRAINED-classifier routing (round-2 verdict item #6): real test
+        # images from the committed full-system experiment, binned by the
+        # trained classifier's actual predictions. Branch cost depends only
+        # on shapes, so the already-compiled engine programs are reused with
+        # the trained labels — no second full-pipeline compile; only the
+        # trained classifier itself compiles (small graph).
+        try:
+            trained = (_trained_routing_inputs(bucket)
+                       if _budget_ok("trained_routing") else None)
+            if trained is not None:
+                x_real, labels_trained, acc = trained
+                # Full ITERS for the trained/spill family: these rows are
+                # DELTAS against the primary (also full ITERS); at //3 the
+                # pipeline-drain tail amortizes differently and manufactures
+                # a ~0.3-0.5 ms/image phantom gap (probe_trained_gap.py
+                # measured spill == oracle interleaved; round_results/
+                # trained_gap_probe.json).
+                per_iter_tr = _time(
+                    lambda: engine(x_real, intensity=labels_trained)[0],
+                    iters=ITERS)
+                ms_tr = per_iter_tr / BATCH * 1000.0
+                result["predicted_routing_trained_ms_per_image"] = round(
+                    ms_tr, 4)
+                result["trained_routing_acc"] = round(acc, 4)
+                # ms_tr is host-binned: subtract the HOST engine's oracle
+                # number even when the device engine took result["value"],
+                # so the field isolates routing-skew cost, not engine choice.
+                oracle_host = result.get("host_binned_ms_per_image",
+                                         result["value"])
+                result["predicted_trained_minus_oracle_ms"] = round(
+                    ms_tr - oracle_host, 4)
+                # Capacity-spill serving (models/routing.py:
+                # plan_capacity_spill): overflow images beyond a class's
+                # bucket capacity are served by a neighboring branch's free
+                # pad slots, so skewed REAL traffic reuses exactly the
+                # balanced program set instead of paying an extra padded
+                # bucket dispatch. Same compiled programs — no extra
+                # compile. FULL tier: spill_up below is the production
+                # policy; the unconstrained balanced-floor row is a bound.
+                if _FULL:
+                    per_iter_sp = _time(
+                        lambda: engine(x_real, intensity=labels_trained,
+                                       spill=True)[0],
+                        iters=ITERS)
+                    result["spill_routing_trained_ms_per_image"] = round(
+                        per_iter_sp / BATCH * 1000.0, 4)
+                # Quality-guarded up-only spill (round 4): overflow moves
+                # only to stronger branches; residual overflow pays a
+                # planned small bucket. Cost sits between spill (balanced
+                # floor) and fidelity; quality stays at fidelity level
+                # (evaluate_hard_routing's spill_up row).
+                per_iter_spu = _time(
+                    lambda: engine(x_real, intensity=labels_trained,
+                                   spill="up")[0],
+                    iters=ITERS)
+                result["spill_up_routing_trained_ms_per_image"] = round(
+                    per_iter_spu / BATCH * 1000.0, 4)
+                # Same skew fix in the single-program engine: the on-device
+                # capacity plan (_device_capacity_labels) removes the
+                # partially-filled extra chunk. One extra (large) compile —
+                # FULL tier only.
+                try:
+                    if not _FULL:
+                        raise RuntimeError("full tier only")
+                    dev_sp = jax.jit(make_device_binned_infer(
+                        clf_serving, serving_applies, chunk=bucket,
+                        spill=True))
+                    lab_dev = jnp.asarray(labels_trained)
+                    per_iter_dsp = _time(
+                        lambda: dev_sp(x_real, lab_dev)[0],
+                        iters=ITERS)
+                    result["device_spill_trained_ms_per_image"] = round(
+                        per_iter_dsp / BATCH * 1000.0, 4)
+                except Exception as e:
+                    print(f"device-spill variant skipped "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
+                # Queued serving (continuous batching, run_queued): the
+                # trained traffic arrives as three ~pure-class batches of
+                # `bucket` — exactly the class-clumped case where fidelity
+                # pays extra padded programs and spill pays quality. The
+                # queue dispatches only FULL same-class buckets, so the
+                # cost should sit at the balanced floor with fidelity
+                # outputs. Reuses the branch applies already compiled at
+                # bucket shape via engine.branch_applies.
+                try:
+                    if not _FULL:
+                        raise RuntimeError("full tier only")
+                    qbatches = [x_real[i:i + bucket]
+                                for i in range(0, x_real.shape[0], bucket)]
+                    qlabels = [labels_trained[i:i + bucket]
+                               for i in range(0, x_real.shape[0], bucket)]
+
+                    def _run_q():
+                        last = None
+                        # Queue composition follows the TRAINED labels
+                        # (the row's name says trained traffic); the
+                        # engine's classifier still runs for cost realism.
+                        for out, _g, _c in engine.run_queued(
+                                qbatches, queue_bucket=bucket,
+                                intensities=qlabels):
+                            last = out
+                        return jnp.asarray(last)
+                    # 3 repetitions, min + median + all samples: the r4 row
+                    # swung 2.09 -> 6.86 ms between runs (host contention on
+                    # the 1-core host). min is the capability number; the
+                    # spread is the contention diagnostic.
+                    reps = []
+                    for _ in range(3):
+                        per_iter_q = _time(_run_q, iters=max(ITERS // 3, 5))
+                        reps.append(per_iter_q / BATCH * 1000.0)
+                    result["queued_routing_trained_ms_per_image"] = round(
+                        min(reps), 4)
+                    result["queued_routing_trained_ms_median"] = round(
+                        float(np.median(reps)), 4)
+                    result["queued_routing_trained_ms_samples"] = [
+                        round(r, 4) for r in reps]
+                except Exception as e:
+                    print(f"queued variant skipped "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
+        except Exception as e:
+            print(f"trained-routing variant skipped "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
 
         # Steady-state stream throughput: run_stream overlaps batch k+1's
         # classifier with batch k's label fetch + dispatch, so this is the
@@ -621,166 +787,6 @@ def main():
                                   iters=max(ITERS // 3, 5))
             result["predicted_routing_ms_per_image"] = round(
                 per_iter_pred / BATCH * 1000.0, 4)
-
-        # Full-pipeline latency incl. detection (BASELINE.md TPU north
-        # star: HDEN -> CORUN -> detection < 5 ms/image on one chip). Dense
-        # FCOS forward + ImageNet renormalisation + fused on-device top-k
-        # in ONE jitted program chained onto the adaptive engine; the host
-        # NMS over <= 300 candidates is numpy microseconds and excluded.
-        try:
-            if not _budget_ok("detection_pipeline"):
-                raise RuntimeError("budget")
-            from adam_dehaze_tpu.models.detection import (
-                IMAGENET_MEAN,
-                IMAGENET_STD,
-                _device_topk,
-                create_detection_model,
-            )
-            det = create_detection_model(config)
-            det_vars = det.module.init(jax.random.PRNGKey(7),
-                                       jnp.zeros((1, SIZE, SIZE, 3),
-                                                 jnp.float32))
-            det_pipe = jax.jit(lambda v, img: _device_topk(
-                det.module.apply(v, (img - IMAGENET_MEAN) / IMAGENET_STD),
-                det.topk))
-
-            def _pipeline():
-                dehazed = engine(x, intensity=balanced)[0]
-                return det_pipe(det_vars, dehazed)[0]["scores"]
-
-            per_iter_det = _time(_pipeline, iters=max(ITERS // 3, 5))
-            result["with_detection_ms_per_image"] = round(
-                per_iter_det / BATCH * 1000.0, 4)
-            # overhead vs the same (host-binned) engine the pipeline chains
-            host_ms = result.get("host_binned_ms_per_image", result["value"])
-            result["detection_overhead_ms_per_image"] = round(
-                per_iter_det / BATCH * 1000.0 - host_ms, 4)
-        except Exception as e:
-            print(f"detection pipeline variant skipped "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
-
-        # TRAINED-classifier routing (round-2 verdict item #6): real test
-        # images from the committed full-system experiment, binned by the
-        # trained classifier's actual predictions. Branch cost depends only
-        # on shapes, so the already-compiled engine programs are reused with
-        # the trained labels — no second full-pipeline compile; only the
-        # trained classifier itself compiles (small graph).
-        try:
-            trained = (_trained_routing_inputs(bucket)
-                       if _budget_ok("trained_routing") else None)
-            if trained is not None:
-                x_real, labels_trained, acc = trained
-                # Full ITERS for the trained/spill family: these rows are
-                # DELTAS against the primary (also full ITERS); at //3 the
-                # pipeline-drain tail amortizes differently and manufactures
-                # a ~0.3-0.5 ms/image phantom gap (probe_trained_gap.py
-                # measured spill == oracle interleaved; round_results/
-                # trained_gap_probe.json).
-                per_iter_tr = _time(
-                    lambda: engine(x_real, intensity=labels_trained)[0],
-                    iters=ITERS)
-                ms_tr = per_iter_tr / BATCH * 1000.0
-                result["predicted_routing_trained_ms_per_image"] = round(
-                    ms_tr, 4)
-                result["trained_routing_acc"] = round(acc, 4)
-                # ms_tr is host-binned: subtract the HOST engine's oracle
-                # number even when the device engine took result["value"],
-                # so the field isolates routing-skew cost, not engine choice.
-                oracle_host = result.get("host_binned_ms_per_image",
-                                         result["value"])
-                result["predicted_trained_minus_oracle_ms"] = round(
-                    ms_tr - oracle_host, 4)
-                # Capacity-spill serving (models/routing.py:
-                # plan_capacity_spill): overflow images beyond a class's
-                # bucket capacity are served by a neighboring branch's free
-                # pad slots, so skewed REAL traffic reuses exactly the
-                # balanced program set instead of paying an extra padded
-                # bucket dispatch. Same compiled programs — no extra
-                # compile. FULL tier: spill_up below is the production
-                # policy; the unconstrained balanced-floor row is a bound.
-                if _FULL:
-                    per_iter_sp = _time(
-                        lambda: engine(x_real, intensity=labels_trained,
-                                       spill=True)[0],
-                        iters=ITERS)
-                    result["spill_routing_trained_ms_per_image"] = round(
-                        per_iter_sp / BATCH * 1000.0, 4)
-                # Quality-guarded up-only spill (round 4): overflow moves
-                # only to stronger branches; residual overflow pays a
-                # planned small bucket. Cost sits between spill (balanced
-                # floor) and fidelity; quality stays at fidelity level
-                # (evaluate_hard_routing's spill_up row).
-                per_iter_spu = _time(
-                    lambda: engine(x_real, intensity=labels_trained,
-                                   spill="up")[0],
-                    iters=ITERS)
-                result["spill_up_routing_trained_ms_per_image"] = round(
-                    per_iter_spu / BATCH * 1000.0, 4)
-                # Same skew fix in the single-program engine: the on-device
-                # capacity plan (_device_capacity_labels) removes the
-                # partially-filled extra chunk. One extra (large) compile —
-                # FULL tier only.
-                try:
-                    if not _FULL:
-                        raise RuntimeError("full tier only")
-                    dev_sp = jax.jit(make_device_binned_infer(
-                        clf_serving, serving_applies, chunk=bucket,
-                        spill=True))
-                    lab_dev = jnp.asarray(labels_trained)
-                    per_iter_dsp = _time(
-                        lambda: dev_sp(x_real, lab_dev)[0],
-                        iters=ITERS)
-                    result["device_spill_trained_ms_per_image"] = round(
-                        per_iter_dsp / BATCH * 1000.0, 4)
-                except Exception as e:
-                    print(f"device-spill variant skipped "
-                          f"({type(e).__name__}: {e})", file=sys.stderr)
-                # Queued serving (continuous batching, run_queued): the
-                # trained traffic arrives as three ~pure-class batches of
-                # `bucket` — exactly the class-clumped case where fidelity
-                # pays extra padded programs and spill pays quality. The
-                # queue dispatches only FULL same-class buckets, so the
-                # cost should sit at the balanced floor with fidelity
-                # outputs. Reuses the branch applies already compiled at
-                # bucket shape via engine.branch_applies.
-                try:
-                    if not _FULL:
-                        raise RuntimeError("full tier only")
-                    qbatches = [x_real[i:i + bucket]
-                                for i in range(0, x_real.shape[0], bucket)]
-                    qlabels = [labels_trained[i:i + bucket]
-                               for i in range(0, x_real.shape[0], bucket)]
-
-                    def _run_q():
-                        last = None
-                        # Queue composition follows the TRAINED labels
-                        # (the row's name says trained traffic); the
-                        # engine's classifier still runs for cost realism.
-                        for out, _g, _c in engine.run_queued(
-                                qbatches, queue_bucket=bucket,
-                                intensities=qlabels):
-                            last = out
-                        return jnp.asarray(last)
-                    # 3 repetitions, min + median + all samples: the r4 row
-                    # swung 2.09 -> 6.86 ms between runs (host contention on
-                    # the 1-core host). min is the capability number; the
-                    # spread is the contention diagnostic.
-                    reps = []
-                    for _ in range(3):
-                        per_iter_q = _time(_run_q, iters=max(ITERS // 3, 5))
-                        reps.append(per_iter_q / BATCH * 1000.0)
-                    result["queued_routing_trained_ms_per_image"] = round(
-                        min(reps), 4)
-                    result["queued_routing_trained_ms_median"] = round(
-                        float(np.median(reps)), 4)
-                    result["queued_routing_trained_ms_samples"] = [
-                        round(r, 4) for r in reps]
-                except Exception as e:
-                    print(f"queued variant skipped "
-                          f"({type(e).__name__}: {e})", file=sys.stderr)
-        except Exception as e:
-            print(f"trained-routing variant skipped "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
 
         # Measured-FLOPs MFU for the balanced primary metric.
         xb = x[:bucket]
