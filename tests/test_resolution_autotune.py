@@ -118,7 +118,12 @@ def test_timed_path_and_cache_roundtrip(tmp_path):
     if loaded["levels"]["low"]["choice"] == "full":
         assert "low" not in lowres
     else:
-        assert lowres["low"] == {"scale": 2, "mode": "guided", "radius": 4}
+        # the TIMED winner depends on host speed (guided_r2_s2 and
+        # guided_r4_s2 are both candidates) — assert the conversion
+        # contract, not which guided radius won the race
+        assert lowres["low"]["mode"] == "guided"
+        assert lowres["low"]["scale"] == 2
+        assert lowres["low"]["radius"] in (2, 4)
 
 
 def test_policy_to_lowres_shapes():
