@@ -40,6 +40,7 @@ def main(argv=None):
     print(f"Detection mAP hazy={hazy_map:.4f} dehazed={dehazed_map:.4f} "
           f"({improvement:+.1f}%)")
 
+    os.makedirs(config["evaluation"]["results_dir"], exist_ok=True)
     out_path = os.path.join(config["evaluation"]["results_dir"],
                             "comprehensive_results.json")
     if os.path.exists(out_path):
