@@ -105,6 +105,15 @@ def main(argv=None):
     p.add_argument("--patches", type=int, default=160)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--uniform", action="store_true",
+                   help="Skip head fitting: write UNIFORM heads with the "
+                        "calibration-protocol validation metrics. This is "
+                        "the r5 default policy — the leave-one-family-out "
+                        "protocol (tools/justify_lpips_calibration.py, "
+                        "benchmarks/round_results/lpips_justify_r5.json) "
+                        "showed fitting does not generalise across "
+                        "distortion families (held-out acc 0.9864 fitted "
+                        "vs 0.9860 uniform; margins slightly WORSE).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", default="cpu", choices=["cpu", "default"],
                    help="cpu (default; calibration is cheap) or the session "
@@ -244,6 +253,8 @@ def main(argv=None):
         return optax.apply_updates(ws, upd), st, l
 
     batch = 2048
+    if args.uniform:
+        args.steps = 0  # keep init_ws; validation metrics still computed
     for s in range(args.steps):
         sel = rng.integers(0, len(train), size=min(batch, len(train)))
         ws, opt_state, l = step(ws, opt_state, train[sel])
@@ -262,6 +273,7 @@ def main(argv=None):
     name = os.path.basename(args.out)
     path = ckpt.save_checkpoint(out_dir, name, params, {
         "calibration_synthetic": 1.0,
+        "uniform_heads": 1.0 if args.uniform else 0.0,
         "val_rank_acc": acc_fit,
         "val_rank_acc_uniform": acc_uniform,
         "patches": float(P), "pairs": float(len(pairs)),
