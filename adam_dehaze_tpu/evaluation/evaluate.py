@@ -256,7 +256,9 @@ def evaluate_hard_routing(config, router=None, state=None) -> Dict[str, Any]:
                                    np.zeros(pad, bool)])
             yield full, mask
 
-    accs = {mode: ImageQualityMetrics(image_shape=(1, img, img, 3))
+    accs = {mode: ImageQualityMetrics(
+        image_shape=(1, img, img, 3),
+        lpips_weights=config.get("loss", {}).get("lpips_weights") or None)
             for mode in ("fidelity", "spill", "spill_up", "spill_ordered")}
     counters = {"steady": [0, 0], "ordered": [0, 0],
                 "steady_up": [0, 0]}  # [spilled, total]
