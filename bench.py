@@ -181,6 +181,26 @@ def _default_experiment():
     return None
 
 
+def _tuned_artifact(env_key: str, exp_file: str, tracked_file: str) -> str:
+    """Resolve a tuning artifact (serving-autotune cache / resolution
+    policy): env override -> the live experiment's file -> the tracked
+    snapshot under benchmarks/. Experiments live outside git, so a fresh
+    workspace (re-provisioned between rounds) has no experiment dirs; the
+    committed snapshots carry the idle-host on-chip decisions forward
+    (keys are weight-independent: backend/arch/width/dtype/shape +
+    jaxlib stamp, so they transfer to bench's parity models)."""
+    p = os.environ.get(env_key)
+    if p:
+        return p
+    exp = _default_experiment()
+    if exp:
+        cand = os.path.join(exp, exp_file)
+        if os.path.isfile(cand):
+            return cand
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", tracked_file)
+
+
 def _trained_routing_inputs(bucket: int):
     """Real test images + trained-classifier routing labels.
 
@@ -297,10 +317,9 @@ def main():
     hit_row_ms = {}
     if os.environ.get("BENCH_AUTOTUNE", "1") != "0":
         from adam_dehaze_tpu.serving_autotune import load_cached
-        cache_path = os.environ.get(
-            "BENCH_AUTOTUNE_CACHE",
-            os.path.join(_default_experiment() or "experiments/full_system_r3",
-                         "serving_autotune.json"))
+        cache_path = _tuned_artifact("BENCH_AUTOTUNE_CACHE",
+                                     "serving_autotune.json",
+                                     "serving_autotune.json")
         sample_shape = (BATCH // 3, SIZE, SIZE, 3)
         for i, n in enumerate(("low", "medium", "high")):
             try:
@@ -418,11 +437,9 @@ def main():
                     load_policy,
                     policy_to_lowres,
                 )
-                pol = load_policy(os.environ.get(
-                    "BENCH_RESOLUTION_POLICY",
-                    os.path.join(
-                        _default_experiment() or "experiments/full_system_r3",
-                        "resolution_policy.json")))
+                pol = load_policy(_tuned_artifact(
+                    "BENCH_RESOLUTION_POLICY", "resolution_policy.json",
+                    "resolution_policy.json"))
                 lowres_g = policy_to_lowres(pol) if pol else {}
                 if lowres_g:
                     from adam_dehaze_tpu.ops.resolution import (
@@ -714,11 +731,9 @@ def main():
                 load_policy,
                 policy_to_lowres,
             )
-            pol_path = os.environ.get(
-                "BENCH_RESOLUTION_POLICY",
-                os.path.join(
-                    _default_experiment() or "experiments/full_system_r3",
-                    "resolution_policy.json"))
+            pol_path = _tuned_artifact("BENCH_RESOLUTION_POLICY",
+                                       "resolution_policy.json",
+                                       "resolution_policy.json")
             policy = load_policy(pol_path)
             if policy is not None:
                 lowres = policy_to_lowres(policy)
